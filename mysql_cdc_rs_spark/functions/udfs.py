@@ -1,0 +1,93 @@
+"""Arrow-vectorized pandas UDFs wrapping the pure-Python kernel.
+
+Hot-path rule (BASELINE.json input_hint): NO per-row Python outside these
+Arrow-batched UDFs.  Each UDF receives a pandas Series per Arrow batch
+(bounded by spark.sql.execution.arrow.maxRecordsPerBatch) and applies the
+kernel per element inside the batch — the Spark-side cost model is identical
+to the reference's per-event decode loop
+(/root/reference/binlog/src/decoder/event_decoder.rs:153-360), but batches
+move JVM<->Python as Arrow buffers, not pickled rows.
+
+Errors NEVER raise: they surface in the ``error`` struct field and are
+filtered to the error route (mirrors the reference's skip-don't-crash
+policy, /root/reference/binlog/src/decoder/event_decoder.rs:310-330).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import (
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from mysql_cdc_rs_spark.kernel import jsonb as _jsonb
+from mysql_cdc_rs_spark.kernel.decode import decode_page
+
+DECODED_FIELDS = [
+    ("status", IntegerType()),
+    ("mime", StringType()),
+    ("charset", StringType()),
+    ("charset_source", StringType()),
+    ("content_encoding", StringType()),
+    ("header_len", IntegerType()),
+    ("body_len", IntegerType()),
+    ("text", StringType()),
+    ("title", StringType()),
+    ("event_type", StringType()),
+    ("route", StringType()),
+    ("error", StringType()),
+]
+DECODED_SCHEMA = StructType([StructField(n, t, True) for n, t in DECODED_FIELDS])
+_COLS = [n for n, _ in DECODED_FIELDS]
+
+
+@pandas_udf(DECODED_SCHEMA)
+def decode_page_udf(html: pd.Series) -> pd.DataFrame:
+    """binary html -> decoded struct (frame, dispatch, charset, text, route)."""
+    rows = [decode_page(b) for b in html]
+    return pd.DataFrame(rows, columns=_COLS)
+
+
+@pandas_udf(StringType())
+def jsonb_decode_udf(payload: pd.Series) -> pd.Series:
+    """MySQL-JSONB binary -> canonical JSON string (kernel C13)."""
+    out = []
+    for b in payload:
+        if b is None:
+            out.append(None)
+            continue
+        try:
+            out.append(_jsonb.canonical_json(_jsonb.parse_jsonb(bytes(b))))
+        except Exception:
+            out.append(None)
+    return pd.Series(out, dtype="object")
+
+
+@pandas_udf(StringType())
+def jsonb_path_udf(payload: pd.Series, path: pd.Series) -> pd.Series:
+    """extract_by_path over JSONB binary (kernel C14)."""
+    out = []
+    for b, p in zip(payload, path):
+        if b is None or p is None:
+            out.append(None)
+            continue
+        try:
+            v = _jsonb.extract_by_path(_jsonb.parse_jsonb(bytes(b)), str(p))
+            out.append(None if v is None else _jsonb.canonical_json(v))
+        except Exception:
+            out.append(None)
+    return pd.Series(out, dtype="object")
+
+
+def with_decoded(df, html_col: str = "html", out_col: str = "decoded"):
+    """Attach the decoded struct — the pipeline's single wide projection.
+
+    One UDF call per row batch; downstream stages select struct fields so
+    Catalyst prunes what they don't use.
+    """
+    return df.withColumn(out_col, decode_page_udf(F.col(html_col)))

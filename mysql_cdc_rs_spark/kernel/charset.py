@@ -1,0 +1,108 @@
+"""Charset identification and decoding.
+
+Parity: the reference maintains a charset-id -> encoding map with a
+conversion cache and converts every text cell to UTF-8
+(/root/reference/binlog/src/column/charset.rs:38-200).  Here the charset
+arrives in-band (Content-Type header or <meta> tag) instead of as a MySQL
+collation id, so "lookup by id" becomes "sniff from bytes" — but the codec
+table and the convert-to-UTF-8-lossy contract are the same.
+
+Determinism contract: given the same bytes, ``sniff_charset`` and
+``decode_text`` return the same result on every platform (pure stdlib codecs,
+no locale dependence).
+"""
+
+from __future__ import annotations
+
+import re
+
+# Token -> Python codec. Mirrors the reference's supported charset set
+# (latin1/utf8/utf8mb4/gbk/big5/sjis/euckr/ascii/binary,
+#  /root/reference/binlog/src/column/charset.rs:150-199).
+CHARSET_MAP: dict[str, str] = {
+    "utf-8": "utf-8",
+    "utf8": "utf-8",
+    "utf8mb4": "utf-8",
+    "latin1": "latin-1",
+    "latin-1": "latin-1",
+    "iso-8859-1": "latin-1",
+    "ascii": "ascii",
+    "us-ascii": "ascii",
+    "gbk": "gbk",
+    "gb2312": "gbk",
+    "big5": "big5",
+    "shift_jis": "shift_jis",
+    "shift-jis": "shift_jis",
+    "sjis": "shift_jis",
+    "euc-kr": "euc-kr",
+    "euckr": "euc-kr",
+    "binary": None,  # type: ignore[dict-item]  # opaque bytes, no text decode
+}
+
+DEFAULT_CHARSET = "utf-8"
+
+# charset=<token> inside a Content-Type header value.
+_CT_CHARSET_RE = re.compile(rb"charset\s*=\s*\"?([A-Za-z0-9_\-]+)\"?", re.IGNORECASE)
+# <meta charset="..."> or <meta http-equiv=... content="...; charset=...">
+_META_CHARSET_RE = re.compile(
+    rb"<meta[^>]+charset\s*=\s*[\"']?([A-Za-z0-9_\-]+)", re.IGNORECASE
+)
+
+# Only sniff the head of the body — mirrors browsers and keeps the kernel O(1)
+# per row regardless of page size.
+SNIFF_WINDOW = 1024
+
+
+def normalize_charset(token: str | bytes | None) -> str | None:
+    """Map a raw charset token to a canonical Python codec name.
+
+    Unknown tokens return None (caller routes the row to the decode-error
+    sink — the analog of the reference's unsupported-charset error path).
+    """
+    if token is None:
+        return None
+    if isinstance(token, bytes):
+        try:
+            token = token.decode("ascii")
+        except UnicodeDecodeError:
+            return None
+    return CHARSET_MAP.get(token.strip().lower())
+
+
+def sniff_charset(content_type: bytes | None, body: bytes) -> tuple[str, str]:
+    """Resolve the charset for a page body.
+
+    Resolution order (deterministic):
+    1. ``charset=`` parameter of the Content-Type header value;
+    2. ``<meta charset=...>`` in the first SNIFF_WINDOW bytes of the body;
+    3. DEFAULT_CHARSET.
+
+    Returns ``(codec, source)`` where source in {"header","meta","default",
+    "unknown"}.  ``codec`` is the *requested* token when unknown so the error
+    row can report what it saw.
+    """
+    if content_type:
+        m = _CT_CHARSET_RE.search(content_type)
+        if m:
+            codec = normalize_charset(m.group(1))
+            if codec is not None:
+                return codec, "header"
+            return m.group(1).decode("ascii", "replace").lower(), "unknown"
+    m = _META_CHARSET_RE.search(body[:SNIFF_WINDOW])
+    if m:
+        codec = normalize_charset(m.group(1))
+        if codec is not None:
+            return codec, "meta"
+        return m.group(1).decode("ascii", "replace").lower(), "unknown"
+    return DEFAULT_CHARSET, "default"
+
+
+def decode_text(body: bytes, codec: str) -> str:
+    """Decode bytes to text with the reference's lossy contract.
+
+    The reference uses lossy UTF-8 conversion (invalid sequences become
+    U+FFFD, /root/reference/binlog/src/utils.rs:96-106); ``errors="replace"``
+    is the exact Python equivalent and is deterministic for every stdlib
+    codec used in CHARSET_MAP.
+    """
+    return body.decode(codec, errors="replace")

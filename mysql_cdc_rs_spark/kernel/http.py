@@ -1,0 +1,111 @@
+"""HTTP response-record framing ("event header" grok).
+
+Parity: the reference frames a byte stream into events by parsing a 19-byte
+fixed little-endian header (timestamp, type code, server_id, event_length,
+next_position, flags — /root/reference/binlog/src/events/event_header.rs:205-282)
+and validates a 4-byte magic prologue (:200-202).  The Common-Crawl analog of
+that header is the HTTP response block that precedes every WARC page body:
+a status line plus key:value headers terminated by CRLFCRLF.  ``parse_record``
+is the grok step — one regex pass over a bounded prefix, never the whole body.
+
+Malformed records do NOT raise: they return an ``error`` field so the Spark
+plan keeps errors on a side output instead of throwing in the hot path
+(mirrors /root/reference/binlog/src/decoder/bytes_binlog_reader.rs:94-101).
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+from dataclasses import dataclass, field
+
+# Magic prologue of a well-formed record — the binlog magic's analog.
+MAGIC = b"HTTP/"
+
+# How far into the record the header block may extend. Real HTTP caps header
+# size similarly; bounding it keeps per-row work O(1).
+MAX_HEADER_BYTES = 8192
+
+_STATUS_RE = re.compile(rb"^HTTP/(\d\.\d)[ \t]+(\d{3})[ \t]*([^\r\n]*)\r\n")
+_HEADER_LINE_RE = re.compile(rb"([!#$%&'*+\-.^_`|~0-9A-Za-z]+):[ \t]*([^\r\n]*)\r\n")
+
+ERR_NO_MAGIC = "NO_MAGIC"
+ERR_NO_HEADER_END = "NO_HEADER_END"
+ERR_BAD_STATUS_LINE = "BAD_STATUS_LINE"
+ERR_BAD_GZIP = "BAD_GZIP"
+
+
+@dataclass
+class HttpRecord:
+    version: str = ""
+    status: int = 0
+    reason: str = ""
+    headers: dict[str, bytes] = field(default_factory=dict)
+    body: bytes = b""
+    header_len: int = 0
+    error: str | None = None
+
+    @property
+    def content_type(self) -> bytes | None:
+        return self.headers.get("content-type")
+
+    @property
+    def mime(self) -> str:
+        ct = self.content_type
+        if not ct:
+            return ""
+        return ct.split(b";", 1)[0].strip().lower().decode("ascii", "replace")
+
+
+def parse_record(raw: bytes) -> HttpRecord:
+    """Frame one record: magic check -> status line -> header map -> body.
+
+    Single pass, bounded scan — the whole function is the vectorized-UDF
+    per-row kernel, so it must not allocate proportionally to header count
+    beyond the small dict.
+    """
+    rec = HttpRecord()
+    if not raw.startswith(MAGIC):
+        rec.error = ERR_NO_MAGIC
+        return rec
+    head = raw[:MAX_HEADER_BYTES]
+    end = head.find(b"\r\n\r\n")
+    if end < 0:
+        rec.error = ERR_NO_HEADER_END
+        return rec
+    m = _STATUS_RE.match(head)
+    if not m:
+        rec.error = ERR_BAD_STATUS_LINE
+        return rec
+    rec.version = m.group(1).decode("ascii")
+    rec.status = int(m.group(2))
+    rec.reason = m.group(3).decode("ascii", "replace")
+    for hm in _HEADER_LINE_RE.finditer(head, m.end(), end + 2):
+        rec.headers[hm.group(1).decode("ascii").lower()] = hm.group(2)
+    rec.header_len = end + 4
+    rec.body = raw[end + 4 :]
+    return rec
+
+
+def decompress_body(rec: HttpRecord) -> bytes | None:
+    """Apply Content-Encoding — the compressed-transaction-payload analog.
+
+    The reference handles TRANSACTION_PAYLOAD compressed events
+    (/root/reference/binlog/src/decoder/mysql8_decoders.rs:14-88); here the
+    compressed unit is a gzip page body.  Returns None (caller -> error
+    route) on a corrupt stream; never raises.
+    """
+    enc = rec.headers.get("content-encoding", b"").strip().lower()
+    if enc in (b"", b"identity"):
+        return rec.body
+    if enc == b"gzip":
+        try:
+            return zlib.decompress(rec.body, wbits=31)
+        except zlib.error:
+            return None
+    if enc == b"deflate":
+        try:
+            return zlib.decompress(rec.body)
+        except zlib.error:
+            return None
+    return None

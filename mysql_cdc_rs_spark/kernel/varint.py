@@ -1,0 +1,88 @@
+"""MySQL wire-format primitives: length-encoded integers and strings.
+
+Re-implemented from the public MySQL client/server protocol documentation
+(https://dev.mysql.com/doc/dev/mysql-server/latest/page_protocol_basic_dt_integers.html).
+Parity targets in the reference:
+- read_len_enc_num   <- /root/reference/binlog/src/utils.rs:74-94   (C1)
+- read/extract_string<- /root/reference/binlog/src/utils.rs:20-26,96-179 (C2)
+- parse_string       <- /root/reference/binlog/src/utils.rs:310-317 (C3)
+- parse_bit          <- /root/reference/binlog/src/utils.rs:319-323 (C4)
+- parse_blob         <- /root/reference/binlog/src/utils.rs:325-330 (C5)
+
+Every function takes ``(buf, pos)`` and returns ``(value, new_pos)`` so the
+row decoder walks the payload in one pass with no copies until the final
+slice.
+"""
+
+from __future__ import annotations
+
+NULL_MARKER = 0xFB
+
+
+def read_len_enc_num(buf: bytes, pos: int = 0) -> tuple[int | None, int]:
+    """Length-encoded integer: 1 byte <0xFB; 0xFB=NULL; 0xFC +2; 0xFD +3; 0xFE +8."""
+    first = buf[pos]
+    if first < 0xFB:
+        return first, pos + 1
+    if first == NULL_MARKER:
+        return None, pos + 1
+    if first == 0xFC:
+        return int.from_bytes(buf[pos + 1 : pos + 3], "little"), pos + 3
+    if first == 0xFD:
+        return int.from_bytes(buf[pos + 1 : pos + 4], "little"), pos + 4
+    if first == 0xFE:
+        return int.from_bytes(buf[pos + 1 : pos + 9], "little"), pos + 9
+    raise ValueError(f"invalid length-encoded int prefix 0x{first:02x}")
+
+
+def read_len_enc_string(buf: bytes, pos: int = 0) -> tuple[bytes | None, int]:
+    n, pos = read_len_enc_num(buf, pos)
+    if n is None:
+        return None, pos
+    return buf[pos : pos + n], pos + n
+
+
+def read_null_terminated(buf: bytes, pos: int = 0) -> tuple[bytes, int]:
+    end = buf.index(0, pos)
+    return buf[pos:end], end + 1
+
+
+def read_fixed_string(buf: bytes, pos: int, n: int) -> tuple[bytes, int]:
+    return buf[pos : pos + n], pos + n
+
+
+def parse_string(buf: bytes, pos: int, max_len_meta: int) -> tuple[bytes, int]:
+    """VARCHAR cell: 1-byte length prefix when max length < 256, else 2-byte LE."""
+    if max_len_meta < 256:
+        n = buf[pos]
+        pos += 1
+    else:
+        n = int.from_bytes(buf[pos : pos + 2], "little")
+        pos += 2
+    return buf[pos : pos + n], pos + n
+
+
+def parse_bit(buf: bytes, pos: int, nbits: int) -> tuple[list[bool], int]:
+    """BIT cell: big-endian packed bits, ceil(nbits/8) bytes -> list[bool]."""
+    nbytes = (nbits + 7) // 8
+    raw = int.from_bytes(buf[pos : pos + nbytes], "big")
+    bits = [bool((raw >> i) & 1) for i in range(nbits - 1, -1, -1)]
+    return bits, pos + nbytes
+
+
+def parse_blob(buf: bytes, pos: int, len_bytes: int) -> tuple[bytes, int]:
+    """BLOB cell: little-endian length prefix of 1-4 bytes, then raw bytes."""
+    n = int.from_bytes(buf[pos : pos + len_bytes], "little")
+    pos += len_bytes
+    return buf[pos : pos + n], pos + n
+
+
+def read_bitmap_le(buf: bytes, pos: int, nbits: int) -> tuple[list[bool], int]:
+    """Null/columns-present bitmap: little-endian bit order within bytes.
+
+    Bit i of the bitmap = bit (i % 8) of byte (i // 8)
+    (parity: /root/reference/binlog/src/utils.rs:207-228).
+    """
+    nbytes = (nbits + 7) // 8
+    chunk = buf[pos : pos + nbytes]
+    return [bool((chunk[i >> 3] >> (i & 7)) & 1) for i in range(nbits)], pos + nbytes

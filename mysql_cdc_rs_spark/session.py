@@ -1,0 +1,62 @@
+"""SparkSession factory with scale-oriented defaults.
+
+All entry points (tests, bench, driver contract) build sessions here so the
+whole engine runs under one config story:
+
+- AQE on (coalesce partitions + skew-join): runtime re-planning replaces the
+  reference's hand-tuned ring-buffer/queue sizing
+  (/root/reference/binlog/src/relay_log/queue_manager.rs:11).
+- Arrow execution on, bounded batch size: replaces the reference's payload
+  buffer reuse + object pools
+  (/root/reference/binlog/src/decoder/file_binlog_reader.rs:122-137).
+- Session timezone pinned to UTC so timestamp semantics match the DuckDB
+  oracle bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Shuffle partition count sized for local[32] test runs; on a real cluster
+# this is overridden via spark-submit conf (AQE coalesces down at runtime).
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
+
+
+def build_session(
+    app_name: str = "mysql_cdc_rs_spark",
+    master: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or get) a SparkSession with the engine's standard config."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        # --- correctness-critical ---
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # --- adaptive execution: runtime re-plan at any scale ---
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(DEFAULT_SHUFFLE_PARTITIONS))
+        # --- vectorized decode path sizing (Arrow batches to pandas UDFs) ---
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # --- scan sizing: keep partitions executor-memory-friendly at scale ---
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # broadcast threshold: dimension tables (lang->region, tld->category)
+        # are tiny; we also hint broadcast() explicitly at every dim join.
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def get_active_or_build(**kwargs) -> SparkSession:
+    active = SparkSession.getActiveSession()
+    return active if active is not None else build_session(**kwargs)
