@@ -1,38 +1,53 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+- ``entry(spark)``: flagship decode->enrich->route->aggregate run over a
+  pages table derived deterministically from the sf0.001 documents parquet.
+- ``queries()``: one entry per implemented operator (SURVEY.md §2 inventory).
+- ``oracle_sql()``: exact DuckDB twins; cross-engine determinism rules are
+  documented in mysql_cdc_rs_spark/queries.py.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+if _REPO_DIR not in sys.path:
+    sys.path.insert(0, _REPO_DIR)
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full pipeline over sf0.001-derived pages -> per-route/region
+    counts (exact per-sink totals, the north rule's headline aggregate)."""
+    from pyspark.sql import functions as F
+
+    from mysql_cdc_rs_spark.operators.decode import decode_pages
+    from mysql_cdc_rs_spark.operators.enrich import enrich
+    from mysql_cdc_rs_spark.sources.pages_from_documents import pages_from_documents
+
+    pages = pages_from_documents(spark, "/root/testdata/sf0.001")
+    enriched = enrich(decode_pages(pages))
+    return (
+        enriched.groupBy("route", "region", "event_type")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.coalesce(F.col("body_len"), F.lit(0))).alias("total_body_bytes"),
+        )
+        .orderBy("route", "region", "event_type")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from mysql_cdc_rs_spark.queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from mysql_cdc_rs_spark.queries import ORACLES
+
+    return dict(ORACLES)

@@ -1,0 +1,170 @@
+"""Deduplication operators over the documents table.
+
+Training-data-pipeline staples, each designed for 100 TB first and oracle
+verifiability second:
+
+- exact:     hash-groupBy on md5(text) — one shuffle on a short key.
+- minhash:   word-shingle minhash signatures; NO pairwise comparison — LSH
+             banding turns near-dup detection into an equi-join on band
+             buckets, which is the only formulation that survives 10^12 docs
+             (pairwise cosine/jaccard is O(n^2) and dead on arrival).
+- simhash:   64->32-bit sign-sketch; near-dups share the sketch value
+             (or low hamming distance at scale).
+- ngram jaccard: EXACT verifier applied only to LSH candidate pairs.
+
+All hashing is portable_hash60 (md5-based) so every operator has an exact
+DuckDB oracle.  Skew note: shingle explode multiplies rows ~Nx; the explode
+happens AFTER a select of (doc_id, text) only, and the re-aggregation key is
+doc_id (uniform), so no hot keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mysql_cdc_rs_spark.functions.text import (
+    portable_hash60,
+    word_shingles,
+    words_of,
+)
+
+MINHASH_K = 8  # hash family size
+LSH_BANDS = 4  # bands of MINHASH_K / LSH_BANDS rows each
+SIMHASH_BITS = 32
+
+
+def exact_dedup_stats(docs: DataFrame) -> DataFrame:
+    """Exact-dup census: total docs, distinct texts, redundant rows."""
+    return docs.agg(
+        F.count("*").alias("n_docs"),
+        F.count_distinct(F.md5("text")).alias("n_distinct_texts"),
+        (F.count("*") - F.count_distinct(F.md5("text"))).alias("n_redundant"),
+    )
+
+
+def exact_dedup_keep_first(docs: DataFrame) -> DataFrame:
+    """Exact dedup keeping the lowest doc_id per text hash."""
+    return (
+        docs.groupBy(F.md5("text").alias("text_hash"))
+        .agg(F.min("doc_id").alias("keeper_id"), F.count("*").alias("n_copies"))
+        .orderBy("text_hash")
+    )
+
+
+def shingled(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingle) exploded rows — distinct per doc."""
+    return (
+        docs.select("doc_id", words_of(F.col("text")).alias("words"))
+        .select("doc_id", F.explode(word_shingles("words", n)).alias("shingle"))
+        .distinct()
+    )
+
+
+def minhash_signatures(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
+    """doc_id -> k minhash values (one column per hash seed).
+
+    Computed as min-aggregations over the exploded shingles: one shuffle on
+    doc_id, map-side partial mins, no per-row Python.
+    """
+    sh = shingled(docs)
+    aggs = [
+        F.min(portable_hash60(F.col("shingle"), seed=i)).alias(f"mh{i}")
+        for i in range(k)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame, k: int = MINHASH_K, bands: int = LSH_BANDS
+) -> DataFrame:
+    """Near-dup candidate pairs: docs sharing any LSH band bucket.
+
+    Band bucket = concat of the band's minhash values; candidates come from
+    a self-equi-join on (band_id, bucket) — the scale path: join fan-out is
+    bounded by bucket occupancy, never O(n^2).
+    """
+    rows_per_band = k // bands
+    sig = minhash_signatures(docs, k)
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band_id"), F.concat_ws("_", *cols).alias("bucket"))
+        )
+    banded = sig.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("band")
+    ).select("doc_id", "band.band_id", "band.bucket")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, ["band_id", "bucket"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, min_jaccard: float = 0.0) -> DataFrame:
+    """Exact word-3-gram Jaccard for docs sharing >=1 shingle.
+
+    At full scale this runs ONLY on lsh_candidate_pairs output; expressed
+    here over shared-shingle pairs so the small-SF oracle is exact.
+    """
+    sh = shingled(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, F.col("a.shingle") == F.col("b.shingle"))
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").alias("sa"), "doc_a")
+        .withColumnRenamed("n_sh", "n_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").alias("sb"), "doc_b")
+        .withColumnRenamed("n_sh", "n_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                6,
+            ),
+        )
+        .select("doc_a", "doc_b", "n_inter", "jaccard")
+    )
+    if min_jaccard > 0:
+        out = out.filter(F.col("jaccard") >= min_jaccard)
+    return out
+
+
+def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
+    """32-bit simhash per doc from word hashes (sign-of-sum per bit).
+
+    One explode + one groupBy(doc_id) with `bits` conditional sums — all
+    JVM-side; the bit assembly is a single sum of powers of two.
+    """
+    w = docs.select(
+        "doc_id", F.explode(words_of(F.col("text"))).alias("word")
+    ).withColumn("h", portable_hash60(F.col("word")))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
+                -1
+            )
+        ).alias(f"s{i}")
+        for i in range(bits)
+    ]
+    per_doc = w.groupBy("doc_id").agg(*bit_sums)
+    sim = None
+    for i in range(bits):
+        term = F.when(F.col(f"s{i}") > 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sim = term if sim is None else sim + term
+    return per_doc.select("doc_id", sim.alias("simhash")).orderBy("doc_id")

@@ -1,0 +1,157 @@
+"""Similarity search over the embeddings table (array<float> column).
+
+- brute-force cosine top-k: broadcast the (small) query set against the
+  corpus — ONE pass over the corpus, no corpus self-shuffle.  This is the
+  exactness baseline and also the correct 100 TB plan when |queries| is
+  small: broadcast(queries) x corpus is embarrassingly parallel.
+- LSH-bucketed variant (random-hyperplane signs): corpus is pre-bucketed by
+  a portable deterministic sign-sketch; queries probe only their bucket —
+  the scale path when |queries| is large.
+
+Dot products run JVM-side via higher-order functions (zip_with + aggregate,
+double precision, sequential fold) — bit-reproducible against the DuckDB
+oracle's list_cosine_similarity on double-cast lists.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def cosine(a, b):
+    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+
+def brute_force_topk(
+    corpus: DataFrame, queries: DataFrame, k: int = 10
+) -> DataFrame:
+    """(query_id, rank, neighbor_id) — exact cosine top-k per query.
+
+    Output is rank/id only (no float column): float round-trip noise can't
+    flip equality checks, only genuine rank changes could.
+    """
+    q = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    scored = (
+        corpus.crossJoin(broadcast(q))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .withColumn("sim", cosine(F.col("q_emb"), F.col("embedding")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", F.col("vec_id").alias("neighbor_id"))
+        .orderBy("query_id", "rank")
+    )
+
+
+# --- LSH (random hyperplane) path -------------------------------------------
+
+N_PLANES = 8
+
+
+def plane_weight(plane: int, dim: int) -> int:
+    """Deterministic pseudo-hyperplane weight in {-1,+1}.
+
+    Computed in Python from md5("plane:dim") and inlined as a CONSTANT in
+    both the Spark expression and the DuckDB oracle — bucket assignment is
+    engine-independent and costs nothing at runtime.
+    """
+    import hashlib
+
+    h = int(hashlib.md5(f"{plane}:{dim}".encode()).hexdigest()[:15], 16)
+    return 1 if h % 2 == 0 else -1
+
+
+def lsh_bucket(emb, dim: int, n_planes: int = N_PLANES):
+    """Sign-sketch bucket id: bit p = sign(sum_d w(p,d) * emb[d]).
+
+    Sequential left-to-right sum in double — bit-reproducible in SQL.
+    """
+    bucket = F.lit(0).cast("long")
+    for p in range(n_planes):
+        proj = None
+        for d in range(dim):
+            term = F.element_at(emb, d + 1).cast("double") * F.lit(
+                float(plane_weight(p, d))
+            )
+            proj = term if proj is None else proj + term
+        bucket = bucket + F.when(proj > 0, F.lit(1 << p).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return bucket
+
+
+def lsh_bucket_sql(emb_expr: str, dim: int, n_planes: int = N_PLANES) -> str:
+    """DuckDB twin of lsh_bucket (1-based list indexing)."""
+    parts = []
+    for p in range(n_planes):
+        terms = " + ".join(
+            f"{emb_expr}[{d + 1}]::DOUBLE * ({float(plane_weight(p, d))})"
+            for d in range(dim)
+        )
+        parts.append(
+            f"(CASE WHEN ({terms}) > 0 THEN {1 << p} ELSE 0 END)::BIGINT"
+        )
+    return "(" + " + ".join(parts) + ")"
+
+
+def lsh_topk(
+    corpus: DataFrame, queries: DataFrame, dim: int, k: int = 10
+) -> DataFrame:
+    """ANN top-k probing only the query's LSH bucket.
+
+    At 10^12 vectors the bucket column is the table's physical partition key
+    (write once, probe by partition pruning); here it is computed inline.
+    """
+    cb = corpus.withColumn("bucket", lsh_bucket(F.col("embedding"), dim))
+    q = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+    ).withColumn("bucket", lsh_bucket(F.col("q_emb"), dim))
+    scored = (
+        cb.join(broadcast(q), "bucket")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .withColumn("sim", cosine(F.col("q_emb"), F.col("embedding")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", F.col("vec_id").alias("neighbor_id"))
+        .orderBy("query_id", "rank")
+    )
+
+
+def neardup_pairs(corpus: DataFrame, dim: int, min_cos: float) -> DataFrame:
+    """Embedding near-duplicate pairs within LSH buckets (cos >= threshold)."""
+    cb = corpus.withColumn("bucket", lsh_bucket(F.col("embedding"), dim))
+    a = cb.alias("a")
+    b = cb.alias("b")
+    return (
+        a.join(b, "bucket")
+        .where(F.col("a.vec_id") < F.col("b.vec_id"))
+        .withColumn("sim", cosine(F.col("a.embedding"), F.col("b.embedding")))
+        .where(F.col("sim") >= min_cos)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+        )
+        .orderBy("vec_a", "vec_b")
+    )

@@ -1,0 +1,1040 @@
+"""Driver-contract query registry: every SURVEY §2 operator as a
+(spark_builder, duckdb_oracle_sql) pair.
+
+Cross-engine determinism rules used throughout (the reason these oracles
+match bit-for-bit):
+
+1. MONEY/VALUE AGGREGATES are integer micro-units: per row
+   ``floor(x * 10^k + 0.5)::BIGINT`` (identical IEEE ops in both engines),
+   then exact int64 sums.  Never sum raw doubles (order-dependent) and never
+   rely on round() (engines disagree on shortest-repr boundary cases).
+2. PORTABLE HASH: md5-hex-prefix -> 60-bit int (functions/text.py), same
+   bytes hashed on both sides.
+3. FLOAT FOLDS (cosine) are sequential left-to-right double folds in both
+   engines, and compared outputs carry ranks/ids, not floats.
+4. Timestamps compared raw (session TZ pinned UTC); differences are computed
+   in integer microseconds (unix_micros vs epoch_us).
+5. Every computed column aliased identically on both sides; deterministic
+   ORDER BY is the driver's job (it hashes order-insensitively) but ties in
+   window/rank functions are always broken by a unique column.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from mysql_cdc_rs_spark.functions.columns import mysql_date, mysql_datetime, mysql_year
+from mysql_cdc_rs_spark.operators import dedup as DD
+from mysql_cdc_rs_spark.operators import similarity as SIM
+from mysql_cdc_rs_spark.operators import textstats as TS
+from mysql_cdc_rs_spark.operators.decode import decode_pages
+from mysql_cdc_rs_spark.operators.enrich import enrich
+from mysql_cdc_rs_spark.sources.pages_from_documents import (
+    CLS_SQL,
+    EVENT_TYPE_SQL,
+    NORM_TEXT_SQL,
+    TLD_SQL,
+    pages_from_documents,
+)
+from mysql_cdc_rs_spark.sources.testdata import load
+
+
+def e_units(col, k: int = 4):
+    """floor(x*10^k + 0.5) -> BIGINT — portable fixed-point units."""
+    return F.floor(col * (10**k) + F.lit(0.5)).cast("long")
+
+
+def E(expr: str, k: int = 4) -> str:
+    return f"CAST(floor(({expr}) * {10**k} + 0.5) AS BIGINT)"
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# =========================================================================
+# Core relational (reference J1/J5 join strategies + TPC-H-style breadth)
+# =========================================================================
+
+def _q1(spark, sf):
+    li = load(spark, sf, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(e_units(F.col("l_quantity"), 2)).alias("sum_qty_e2"),
+            F.sum(e_units(F.col("l_extendedprice"), 2)).alias("sum_base_e2"),
+            F.sum(e_units(disc_price, 4)).alias("sum_disc_e4"),
+            F.sum(e_units(charge, 4)).alias("sum_charge_e4"),
+            F.count("*").alias("count_order"),
+            F.floor(
+                F.sum(e_units(F.col("l_quantity"), 2)) / F.count("*")
+            ).alias("avg_qty_e2"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+QUERIES["q1_pricing_summary"] = _q1
+ORACLES["q1_pricing_summary"] = f"""
+SELECT l_returnflag, l_linestatus,
+       sum({E('l_quantity', 2)}) AS sum_qty_e2,
+       sum({E('l_extendedprice', 2)}) AS sum_base_e2,
+       sum({E('l_extendedprice * (1 - l_discount)', 4)}) AS sum_disc_e4,
+       sum({E('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 4)}) AS sum_charge_e4,
+       count(*) AS count_order,
+       CAST(floor(sum({E('l_quantity', 2)}) / count(*)) AS BIGINT) AS avg_qty_e2
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+@q(
+    "q3_top_revenue_orders",
+    f"""
+    SELECT l_orderkey,
+           sum({E('l_extendedprice * (1 - l_discount)', 4)}) AS revenue_e4,
+           o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+      AND l_shipdate  > TIMESTAMP '1998-01-01'
+    GROUP BY l_orderkey, o_orderpriority
+    ORDER BY revenue_e4 DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def _q3(spark, sf):
+    cust = load(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load(spark, sf, "orders").filter(F.col("o_orderdate") < "1998-01-01")
+    li = load(spark, sf, "lineitem").filter(F.col("l_shipdate") > "1998-01-01")
+    rev = e_units(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderpriority")
+        .agg(F.sum(rev).alias("revenue_e4"))
+        .select("l_orderkey", "revenue_e4", "o_orderpriority")
+        .orderBy(F.col("revenue_e4").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@q(
+    "q5_nation_revenue",
+    f"""
+    SELECT n_name,
+           sum({E('l_extendedprice * (1 - l_discount)', 4)}) AS revenue_e4,
+           count(*) AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+)
+def _q5(spark, sf):
+    li = load(spark, sf, "lineitem")
+    orders = load(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    supp = load(spark, sf, "supplier")
+    cust = load(spark, sf, "customer")
+    nation = load(spark, sf, "nation")
+    rev = e_units(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(
+            cust,
+            (orders.o_custkey == cust.c_custkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum(rev).alias("revenue_e4"), F.count("*").alias("n_items"))
+        .orderBy("n_name")
+    )
+
+
+@q(
+    "j1_broadcast_part_join",
+    f"""
+    SELECT p_brand,
+           count(*) AS n_items,
+           sum({E('l_quantity', 2)}) AS sum_qty_e2,
+           sum({E('l_extendedprice * (1 - l_discount)', 4)}) AS revenue_e4
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_size <= 25
+    GROUP BY p_brand
+    ORDER BY p_brand
+    """,
+)
+def _j1b(spark, sf):
+    li = load(spark, sf, "lineitem")
+    part = load(spark, sf, "part").filter(F.col("p_size") <= 25)
+    rev = e_units(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+    return (
+        li.join(broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(e_units(F.col("l_quantity"), 2)).alias("sum_qty_e2"),
+            F.sum(rev).alias("revenue_e4"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+@q(
+    "j1_anti_unmatched_orders",
+    """
+    SELECT o_orderpriority, count(*) AS n_unmatched
+    FROM orders
+    WHERE NOT EXISTS (
+        SELECT 1 FROM customer
+        WHERE c_custkey = o_custkey AND c_acctbal > 5000
+    )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def _j1a(spark, sf):
+    """Missing-dimension-key error route (TABLE_MAP_NOT_FOUND analog)."""
+    orders = load(spark, sf, "orders")
+    cust = load(spark, sf, "customer").filter(F.col("c_acctbal") > 5000)
+    return (
+        orders.join(
+            broadcast(cust), orders.o_custkey == cust.c_custkey, "left_anti"
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_unmatched"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@q(
+    "s6_incremental_scan",
+    """
+    SELECT event_type, count(*) AS n, min(ts) AS first_ts, max(ts) AS last_ts
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-20 00:00:00'
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def _s6(spark, sf):
+    """Start-position strategy: resume-from-checkpoint predicate pushdown."""
+    ev = load(spark, sf, "events").filter(F.col("ts") >= "2024-01-20 00:00:00")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# =========================================================================
+# Event-log aggregations (A1-A6) and ordered-stream ops (W1-W3, D1)
+# =========================================================================
+
+@q(
+    "a1_event_type_stats",
+    f"""
+    SELECT event_type,
+           count(*) AS n_events,
+           sum({E('value', 2)}) AS sum_value_e2,
+           min(value) AS min_value, max(value) AS max_value,
+           CAST(floor(sum({E('value', 2)}) / count(*)) AS BIGINT) AS avg_value_e2,
+           sum(length(props)) AS total_props_bytes,
+           min(ts) AS first_seen, max(ts) AS last_seen
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def _a1(spark, sf):
+    ev = load(spark, sf, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(e_units(F.col("value"), 2)).alias("sum_value_e2"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+            F.floor(F.sum(e_units(F.col("value"), 2)) / F.count("*")).alias(
+                "avg_value_e2"
+            ),
+            F.sum(F.length("props")).alias("total_props_bytes"),
+            F.min("ts").alias("first_seen"),
+            F.max("ts").alias("last_seen"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@q(
+    "a2_rollup_stats",
+    f"""
+    SELECT event_type, count(*) AS n_events, sum({E('value', 2)}) AS sum_value_e2
+    FROM events GROUP BY ROLLUP (event_type)
+    ORDER BY event_type ASC NULLS FIRST
+    """,
+)
+def _a2(spark, sf):
+    ev = load(spark, sf, "events")
+    return (
+        ev.rollup("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(e_units(F.col("value"), 2)).alias("sum_value_e2"),
+        )
+        .orderBy(F.col("event_type").asc_nulls_first())
+    )
+
+
+@q(
+    "a4_value_histogram",
+    """
+    SELECT CAST(floor(value / 50.0) AS BIGINT) AS bucket, count(*) AS n
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+)
+def _a4(spark, sf):
+    ev = load(spark, sf, "events")
+    return (
+        ev.withColumn("bucket", F.floor(F.col("value") / 50.0).cast("long"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+        .orderBy("bucket")
+    )
+
+
+@q(
+    "a6_error_key_stats",
+    r"""
+    SELECT CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) % 10 AS k_mod,
+           count(*) AS n_errors
+    FROM events WHERE event_type = 'error'
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def _a6(spark, sf):
+    ev = load(spark, sf, "events").filter(F.col("event_type") == "error")
+    k = F.regexp_extract("props", r'"k": (\d+)', 1).cast("long") % 10
+    return (
+        ev.withColumn("k_mod", k)
+        .groupBy("k_mod")
+        .agg(F.count("*").alias("n_errors"))
+        .orderBy("k_mod")
+    )
+
+
+_W_ORDER = "ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+
+
+@q(
+    "w1_last_context",
+    f"""
+    SELECT event_id, user_id,
+           last_value(CASE WHEN event_type = 'signup' THEN {E('value', 2)} END
+                      IGNORE NULLS)
+             OVER (PARTITION BY user_id {_W_ORDER}) AS ctx_value_e2
+    FROM events ORDER BY event_id
+    """,
+)
+def _w1(spark, sf):
+    """W1: propagate the most recent signup value to every later event."""
+    ev = load(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    marker = F.when(F.col("event_type") == "signup", e_units(F.col("value"), 2))
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.last(marker, ignorenulls=True).over(w).alias("ctx_value_e2"),
+    ).orderBy("event_id")
+
+
+@q(
+    "w2_sessionize",
+    f"""
+    WITH s AS (
+      SELECT user_id, value,
+             sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id {_W_ORDER}) AS session_id
+      FROM events
+    )
+    SELECT user_id, session_id, count(*) AS n_events,
+           sum({E('value', 2)}) AS sum_value_e2
+    FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id
+    """,
+)
+def _w2(spark, sf):
+    """W2: GTID-opens-transaction analog — marker event opens a session."""
+    ev = load(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sess = F.sum(
+        F.when(F.col("event_type") == "signup", 1).otherwise(0)
+    ).over(w)
+    return (
+        ev.withColumn("session_id", sess)
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(e_units(F.col("value"), 2)).alias("sum_value_e2"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+@q(
+    "w3_next_gap",
+    """
+    SELECT event_id, user_id,
+           epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+             - epoch_us(ts) AS gap_us
+    FROM events ORDER BY event_id
+    """,
+)
+def _w3(spark, sf):
+    """W3: next-position chain — stream continuity per user."""
+    ev = load(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # parquet ts is TIMESTAMP_NTZ; cast to LTZ (value-preserving: session=UTC)
+    return ev.select(
+        "event_id",
+        "user_id",
+        (
+            F.unix_micros(F.lead("ts").over(w).cast("timestamp"))
+            - F.unix_micros(F.col("ts").cast("timestamp"))
+        ).alias("gap_us"),
+    ).orderBy("event_id")
+
+
+@q(
+    "d1_update_diff",
+    r"""
+    WITH pairs AS (
+      SELECT
+        (CASE WHEN value <> lag(value) OVER w THEN 1 ELSE 0 END
+         + CASE WHEN event_type <> lag(event_type) OVER w THEN 1 ELSE 0 END
+         + CASE WHEN regexp_extract(props, '"k": (\d+)', 1)
+                  <> lag(regexp_extract(props, '"k": (\d+)', 1)) OVER w
+                THEN 1 ELSE 0 END
+         + CASE WHEN day(ts) <> day(lag(ts) OVER w) THEN 1 ELSE 0 END
+        ) AS changed_fields,
+        lag(value) OVER w AS has_prev
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT changed_fields,
+           CASE WHEN changed_fields * 100.0 / 4 < 30 THEN 'sparse'
+                WHEN changed_fields * 100.0 / 4 > 75 THEN 'full'
+                ELSE 'partial' END AS update_class,
+           count(*) AS n
+    FROM pairs WHERE has_prev IS NOT NULL
+    GROUP BY 1, 2 ORDER BY 1
+    """,
+)
+def _d1(spark, sf):
+    """D1: before/after field diff + sparse/full classification (thresholds
+    mirror /root/reference/binlog/src/row/update_analyzer.rs:21,34)."""
+    ev = load(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    k = F.regexp_extract("props", r'"k": (\d+)', 1)
+    changed = (
+        F.when(F.col("value") != F.lag("value").over(w), 1).otherwise(0)
+        + F.when(F.col("event_type") != F.lag("event_type").over(w), 1).otherwise(0)
+        + F.when(k != F.lag(k).over(w), 1).otherwise(0)
+        + F.when(F.dayofmonth("ts") != F.dayofmonth(F.lag("ts").over(w)), 1).otherwise(
+            0
+        )
+    )
+    pct = F.col("changed_fields") * 100.0 / 4
+    klass = (
+        F.when(pct < 30, "sparse").when(pct > 75, "full").otherwise("partial")
+    )
+    return (
+        ev.withColumn("changed_fields", changed)
+        .withColumn("has_prev", F.lag("value").over(w))
+        .filter(F.col("has_prev").isNotNull())
+        .groupBy("changed_fields")
+        .agg(F.count("*").alias("n"))
+        .withColumn("update_class", klass)
+        .select("changed_fields", "update_class", "n")
+        .orderBy("changed_fields")
+    )
+
+
+# =========================================================================
+# Scalar wire-format decoders (C6-C10) — bit-op roundtrips, JVM-side
+# =========================================================================
+
+@q(
+    "c7_mysql_date_roundtrip",
+    """
+    WITH packed AS (
+      SELECT (year(o_orderdate) * 512 + month(o_orderdate) * 32
+              + day(o_orderdate)) AS v,
+             o_orderdate::DATE AS expected
+      FROM orders
+    )
+    SELECT count(*) AS n_rows,
+           sum(CASE WHEN make_date(v >> 9, (v >> 5) & 15, v & 31) = expected
+                    THEN 1 ELSE 0 END) AS n_ok,
+           min(make_date(v >> 9, (v >> 5) & 15, v & 31)) AS min_date,
+           max(make_date(v >> 9, (v >> 5) & 15, v & 31)) AS max_date
+    FROM packed
+    """,
+)
+def _c7(spark, sf):
+    orders = load(spark, sf, "orders")
+    v = (
+        F.year("o_orderdate") * 512
+        + F.month("o_orderdate") * 32
+        + F.dayofmonth("o_orderdate")
+    ).cast("long")
+    d = mysql_date(v)
+    return orders.select(
+        v.alias("v"), d.alias("d"), F.col("o_orderdate").cast("date").alias("exp")
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.when(F.col("d") == F.col("exp"), 1).otherwise(0)).alias("n_ok"),
+        F.min("d").alias("min_date"),
+        F.max("d").alias("max_date"),
+    )
+
+
+@q(
+    "c9_mysql_datetime_roundtrip",
+    """
+    WITH packed AS (
+      SELECT (year(ts)::BIGINT * 10000000000 + month(ts) * 100000000
+              + day(ts) * 1000000 + hour(ts) * 10000 + minute(ts) * 100
+              + CAST(floor(extract(second FROM date_trunc('second', ts))) AS BIGINT)
+             ) AS v,
+             date_trunc('second', ts) AS expected
+      FROM events
+    )
+    SELECT count(*) AS n_rows,
+           sum(CASE WHEN make_timestamp(
+                 CAST(v // 10000000000 AS INT),
+                 CAST((v // 100000000) % 100 AS INT),
+                 CAST((v // 1000000) % 100 AS INT),
+                 CAST((v // 10000) % 100 AS INT),
+                 CAST((v // 100) % 100 AS INT),
+                 CAST(v % 100 AS DOUBLE)) = expected
+               THEN 1 ELSE 0 END) AS n_ok
+    FROM packed
+    """,
+)
+def _c9(spark, sf):
+    ev = load(spark, sf, "events")
+    v = (
+        F.year("ts").cast("long") * 10000000000
+        + F.month("ts").cast("long") * 100000000
+        + F.dayofmonth("ts").cast("long") * 1000000
+        + F.hour("ts").cast("long") * 10000
+        + F.minute("ts").cast("long") * 100
+        + F.second("ts").cast("long")
+    )
+    dec = mysql_datetime(v)
+    return ev.select(
+        dec.alias("d"), F.date_trunc("second", "ts").alias("exp")
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.when(F.col("d") == F.col("exp"), 1).otherwise(0)).alias("n_ok"),
+    )
+
+
+@q(
+    "c6_mysql_year_roundtrip",
+    """
+    SELECT (1900 + (year(o_orderdate) - 1900)) AS yr, count(*) AS n
+    FROM orders GROUP BY 1 ORDER BY 1
+    """,
+)
+def _c6(spark, sf):
+    orders = load(spark, sf, "orders")
+    byte = (F.year("o_orderdate") - 1900).cast("int")
+    return (
+        orders.select(mysql_year(byte).alias("yr"))
+        .groupBy("yr")
+        .agg(F.count("*").alias("n"))
+        .orderBy("yr")
+    )
+
+
+# =========================================================================
+# Dedup (exact / minhash-LSH / jaccard / simhash)
+# =========================================================================
+
+_WORDS = "string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')"
+_SHINGLES = (
+    "list_transform(range(1, greatest(len(words) - 2, 0) + 1), "
+    "i -> words[i] || ' ' || words[i + 1] || ' ' || words[i + 2])"
+)
+_SH_CTE = f"""
+WITH w AS (SELECT doc_id, {_WORDS} AS words FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, sh.shingle
+  FROM w, unnest({_SHINGLES}) AS sh(shingle)
+)
+"""
+
+
+def _mh_sql(seed: int) -> str:
+    return f"min(('0x' || substr(md5('{seed}:' || shingle), 1, 15))::BIGINT)"
+
+
+@q(
+    "dedup_exact_stats",
+    """
+    SELECT count(*) AS n_docs,
+           count(DISTINCT md5(text)) AS n_distinct_texts,
+           count(*) - count(DISTINCT md5(text)) AS n_redundant
+    FROM documents
+    """,
+)
+def _dx(spark, sf):
+    return DD.exact_dedup_stats(load(spark, sf, "documents"))
+
+
+@q(
+    "dedup_minhash_signatures",
+    _SH_CTE
+    + "SELECT doc_id, "
+    + ", ".join(f"{_mh_sql(i)} AS mh{i}" for i in range(DD.MINHASH_K))
+    + " FROM sh GROUP BY doc_id ORDER BY doc_id",
+)
+def _dmh(spark, sf):
+    return DD.minhash_signatures(load(spark, sf, "documents")).orderBy("doc_id")
+
+
+_BANDS_SQL = (
+    _SH_CTE
+    + ", sig AS (SELECT doc_id, "
+    + ", ".join(f"{_mh_sql(i)} AS mh{i}" for i in range(DD.MINHASH_K))
+    + " FROM sh GROUP BY doc_id), banded AS ("
+    + " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_id, "
+        + " || '_' || ".join(
+            f"CAST(mh{b * (DD.MINHASH_K // DD.LSH_BANDS) + r} AS VARCHAR)"
+            for r in range(DD.MINHASH_K // DD.LSH_BANDS)
+        )
+        + " AS bucket FROM sig"
+        for b in range(DD.LSH_BANDS)
+    )
+    + ")"
+)
+
+
+@q(
+    "dedup_lsh_pairs",
+    _BANDS_SQL
+    + """
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM banded a JOIN banded b
+      ON a.band_id = b.band_id AND a.bucket = b.bucket
+    WHERE a.doc_id < b.doc_id
+    ORDER BY doc_a, doc_b
+    """,
+)
+def _dlsh(spark, sf):
+    return DD.lsh_candidate_pairs(load(spark, sf, "documents")).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+@q(
+    "dedup_ngram_jaccard",
+    _SH_CTE
+    + """
+    , sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, n_inter,
+           CAST(floor((n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter)) * 1000000
+                      + 0.5) AS BIGINT) AS jaccard_e6
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE n_inter >= 3
+    ORDER BY doc_a, doc_b
+    """,
+)
+def _djac(spark, sf):
+    sh = DD.shingled(load(spark, sf, "documents"))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, F.col("a.shingle") == F.col("b.shingle"))
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_inter"))
+        .filter(F.col("n_inter") >= 3)
+    )
+    sa = sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a")
+    sb = sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b")
+    jac = F.col("n_inter").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    )
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_inter",
+            e_units(jac, 6).alias("jaccard_e6"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# build simhash oracle programmatically (32 conditional sums)
+_H_WORD = "(('0x' || substr(md5(word), 1, 15))::BIGINT)"
+_SIMHASH_BITSUMS = ", ".join(
+    f"sum(CASE WHEN ({_H_WORD} >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS s{i}"
+    for i in range(DD.SIMHASH_BITS)
+)
+_SIMHASH_ASSEMBLE = " + ".join(
+    f"(CASE WHEN s{i} > 0 THEN {1 << i} ELSE 0 END)::BIGINT"
+    for i in range(DD.SIMHASH_BITS)
+)
+
+
+@q(
+    "dedup_simhash",
+    f"""
+    WITH words AS (
+      SELECT doc_id, t.word
+      FROM (SELECT doc_id, {_WORDS} AS ws FROM documents), unnest(ws) AS t(word)
+    ),
+    sums AS (SELECT doc_id, {_SIMHASH_BITSUMS} FROM words GROUP BY doc_id)
+    SELECT doc_id, ({_SIMHASH_ASSEMBLE}) AS simhash
+    FROM sums ORDER BY doc_id
+    """,
+)
+def _dsim(spark, sf):
+    return DD.simhash(load(spark, sf, "documents"))
+
+
+# =========================================================================
+# Text analysis
+# =========================================================================
+
+@q(
+    "text_token_stats",
+    f"""
+    WITH w AS (
+      SELECT doc_id, {_WORDS} AS words,
+             length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS n_chars_norm
+      FROM documents
+    )
+    SELECT doc_id, len(words) AS n_tokens, n_chars_norm,
+           CAST(floor((n_chars_norm - (len(words) - 1))::DOUBLE / len(words)
+                      * 1000000 + 0.5) AS BIGINT) AS avg_word_len_e6
+    FROM w ORDER BY doc_id
+    """,
+)
+def _tt(spark, sf):
+    from mysql_cdc_rs_spark.functions.text import norm_ws, words_of
+
+    docs = load(spark, sf, "documents")
+    w = words_of(F.col("text"))
+    nchars = F.length(norm_ws(F.col("text")))
+    return docs.select(
+        "doc_id",
+        F.size(w).alias("n_tokens"),
+        nchars.alias("n_chars_norm"),
+        e_units((nchars - (F.size(w) - 1)).cast("double") / F.size(w), 6).alias(
+            "avg_word_len_e6"
+        ),
+    ).orderBy("doc_id")
+
+
+_STOP_SQL = "['the','a','and','of','to']"
+
+
+@q(
+    "text_quality_score",
+    f"""
+    WITH w AS (SELECT doc_id, {_WORDS} AS words FROM documents)
+    SELECT doc_id, len(words) AS n_tokens,
+           len(list_filter(words, x -> list_contains({_STOP_SQL}, x)))
+             AS n_stopwords,
+           CAST(floor(len(list_filter(words, x -> list_contains({_STOP_SQL}, x)))
+                      ::DOUBLE / len(words) * 1000000 + 0.5) AS BIGINT)
+             AS stop_ratio_e6,
+           CASE WHEN len(words) >= 50 THEN 1000000
+                ELSE CAST(floor(len(words)::DOUBLE / 50.0 * 1000000 + 0.5)
+                          AS BIGINT) END AS len_score_e6
+    FROM w ORDER BY doc_id
+    """,
+)
+def _tq(spark, sf):
+    from mysql_cdc_rs_spark.functions.text import words_of
+    from mysql_cdc_rs_spark.operators.textstats import STOPWORDS
+
+    docs = load(spark, sf, "documents")
+    w = words_of(F.col("text"))
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(w, lambda x: F.array_contains(stop_arr, x)))
+    n_tokens = F.size(w)
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        n_stop.alias("n_stopwords"),
+        e_units(n_stop.cast("double") / n_tokens, 6).alias("stop_ratio_e6"),
+        F.when(n_tokens >= 50, F.lit(1000000).cast("long"))
+        .otherwise(e_units(n_tokens.cast("double") / 50.0, 6))
+        .alias("len_score_e6"),
+    ).orderBy("doc_id")
+
+
+_FP_HASHES = (
+    "list_transform(words, x -> "
+    "(('0x' || substr(md5(x), 1, 15))::BIGINT) % 1048576)"
+)
+
+
+@q(
+    "text_fingerprint",
+    f"""
+    WITH w AS (SELECT doc_id, {_WORDS} AS words FROM documents)
+    SELECT doc_id,
+           list_reduce(list_prepend(0::BIGINT, {_FP_HASHES}),
+                       (acc, h) -> (acc * 31 + h) % 1099511627776) AS fingerprint
+    FROM w ORDER BY doc_id
+    """,
+)
+def _tf(spark, sf):
+    return TS.fingerprint(load(spark, sf, "documents"))
+
+
+@q(
+    "text_lang_id",
+    None,  # oracle generated below (needs marker arrays per language)
+)
+def _tl(spark, sf):
+    return TS.lang_id(load(spark, sf, "documents"))
+
+
+def _lang_id_oracle() -> str:
+    hit_cols = []
+    for lang, markers in sorted(TS.LANG_MARKERS.items()):
+        arr = "[" + ",".join(f"'{m}'" for m in markers) + "]"
+        hit_cols.append(
+            f"len(list_filter(words, x -> list_contains({arr}, x))) AS hits_{lang}"
+        )
+    langs_desc = sorted(TS.LANG_MARKERS, reverse=True)
+    best = "'und'"
+    best_n = "0"
+    for lang in langs_desc:
+        best = f"CASE WHEN hits_{lang} > ({best_n}) THEN '{lang}' ELSE {best} END"
+        best_n = f"CASE WHEN hits_{lang} > ({best_n}) THEN hits_{lang} ELSE ({best_n}) END"
+    hits_sel = ", ".join(f"hits_{lang}" for lang in sorted(TS.LANG_MARKERS))
+    return f"""
+    WITH w AS (SELECT doc_id, {_WORDS} AS words FROM documents),
+    h AS (SELECT doc_id, {', '.join(hit_cols)} FROM w)
+    SELECT doc_id, {best} AS pred_lang, {hits_sel}
+    FROM h ORDER BY doc_id
+    """
+
+
+ORACLES["text_lang_id"] = _lang_id_oracle()
+
+
+# =========================================================================
+# Similarity search over embeddings
+# =========================================================================
+
+_EMB_DIM = 64
+
+
+def _dot_sql(a: str, b: str, dim: int) -> str:
+    return (
+        f"list_reduce(list_prepend(0.0::DOUBLE, "
+        f"list_transform(range(1, {dim} + 1), "
+        f"i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE)), (x, y) -> x + y)"
+    )
+
+
+def _cos_sql(a: str, b: str, dim: int) -> str:
+    return (
+        f"({_dot_sql(a, b, dim)} / "
+        f"(sqrt({_dot_sql(a, a, dim)}) * sqrt({_dot_sql(b, b, dim)})))"
+    )
+
+
+@q(
+    "ann_brute_force_topk",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb
+               FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, e.vec_id,
+             {_cos_sql('q.q_emb', 'e.embedding', _EMB_DIM)} AS sim
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT query_id, vec_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, vec_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, rank, vec_id AS neighbor_id
+    FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
+    """,
+)
+def _ann(spark, sf):
+    emb = load(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return SIM.brute_force_topk(emb, queries, k=10)
+
+
+@q(
+    "ann_lsh_topk",
+    f"""
+    WITH b AS (
+      SELECT vec_id, embedding,
+             {SIM.lsh_bucket_sql('embedding', _EMB_DIM)} AS bucket
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, embedding AS q_emb, bucket
+          FROM b WHERE vec_id < 20),
+    scored AS (
+      SELECT q.query_id, e.vec_id,
+             {_cos_sql('q.q_emb', 'e.embedding', _EMB_DIM)} AS sim
+      FROM b e JOIN q ON e.bucket = q.bucket
+      WHERE e.vec_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT query_id, vec_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, vec_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, rank, vec_id AS neighbor_id
+    FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+    """,
+)
+def _annlsh(spark, sf):
+    emb = load(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    return SIM.lsh_topk(emb, queries, dim=_EMB_DIM, k=5)
+
+
+# =========================================================================
+# Pipeline over documents-derived pages (the north-rule gate)
+# =========================================================================
+
+@q(
+    "pipeline_event_type_counts",
+    f"""
+    SELECT {EVENT_TYPE_SQL} AS event_type, count(*) AS n
+    FROM documents GROUP BY 1 ORDER BY 1
+    """,
+)
+def _p_counts(spark, sf):
+    pages = pages_from_documents(spark, sf)
+    return (
+        decode_pages(pages)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .orderBy("event_type")
+    )
+
+
+@q(
+    "pipeline_text_md5",
+    f"""
+    SELECT doc_id,
+           CASE WHEN ({CLS_SQL}) < 70
+                  THEN md5('D' || doc_id || ' ' || {NORM_TEXT_SQL})
+                WHEN ({CLS_SQL}) < 80 THEN md5({NORM_TEXT_SQL})
+           END AS text_md5
+    FROM documents
+    WHERE ({CLS_SQL}) < 80
+    ORDER BY doc_id
+    """,
+)
+def _p_text(spark, sf):
+    """THE byte-identical-text gate: md5 of Spark-decoded text must equal
+    md5 of the oracle's independent construction for every document."""
+    pages = pages_from_documents(spark, sf)
+    dec = decode_pages(pages).filter(F.col("event_type").isin("html", "plain"))
+    doc_id = F.regexp_extract("url", r"/d/(\d+)$", 1).cast("long")
+    return dec.select(
+        doc_id.alias("doc_id"), F.md5("text").alias("text_md5")
+    ).orderBy("doc_id")
+
+
+@q(
+    "pipeline_route_region_counts",
+    f"""
+    WITH base AS (
+      SELECT {EVENT_TYPE_SQL} AS event_type, {TLD_SQL} AS tld, lang
+      FROM documents
+    )
+    SELECT CASE WHEN tld = 'gov' THEN 'errors'
+                WHEN event_type = 'error_http' THEN 'errors'
+                WHEN event_type = 'redirect' THEN 'redirect'
+                WHEN event_type = 'plain' THEN 'content_plain'
+                ELSE 'content_html' END AS route,
+           CASE lang WHEN 'en' THEN 'americas' WHEN 'es' THEN 'americas'
+                     WHEN 'de' THEN 'emea' WHEN 'fr' THEN 'emea'
+                     WHEN 'zh' THEN 'apac' END AS region,
+           count(*) AS n
+    FROM base GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def _p_routes(spark, sf):
+    pages = pages_from_documents(spark, sf)
+    enriched = enrich(decode_pages(pages))
+    return (
+        enriched.groupBy("route", "region")
+        .agg(F.count("*").alias("n"))
+        .orderBy("route", "region")
+    )

@@ -1,0 +1,190 @@
+"""Operator-level tests: window context, diff, dedup, similarity, text,
+UDF wrappers — small deterministic frames with hand-computed expectations."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mysql_cdc_rs_spark.operators import diff as D
+from mysql_cdc_rs_spark.operators import window_ops as W
+
+
+@pytest.fixture(scope="module")
+def stream(spark):
+    rows = [
+        # (stream, seq, kind, val)
+        ("s1", 1, "gtid", 100),
+        ("s1", 2, "row", None),
+        ("s1", 3, "row", None),
+        ("s1", 4, "gtid", 200),
+        ("s1", 5, "row", None),
+        ("s2", 1, "row", None),
+        ("s2", 2, "gtid", 900),
+        ("s2", 3, "row", None),
+    ]
+    return spark.createDataFrame(rows, "stream string, seq int, kind string, val int")
+
+
+def test_w1_propagate_last_context(stream):
+    out = W.propagate_last_context(
+        stream, "stream", ["seq"], F.col("val"), "ctx"
+    )
+    got = {(r["stream"], r["seq"]): r["ctx"] for r in out.collect()}
+    assert got[("s1", 3)] == 100
+    assert got[("s1", 5)] == 200
+    assert got[("s2", 1)] is None
+    assert got[("s2", 3)] == 900
+
+
+def test_w2_sessions(stream):
+    out = W.assign_sessions(
+        stream, "stream", ["seq"], F.col("kind") == "gtid"
+    )
+    got = {(r["stream"], r["seq"]): r["session_id"] for r in out.collect()}
+    assert [got[("s1", i)] for i in range(1, 6)] == [1, 1, 1, 2, 2]
+    assert [got[("s2", i)] for i in range(1, 4)] == [0, 1, 1]
+
+
+def test_w3_next_position(stream):
+    out = W.next_position(stream, "stream", ["seq"], "seq")
+    last = out.filter((F.col("stream") == "s1") & (F.col("seq") == 5)).first()
+    assert last["next_pos"] is None
+
+
+def test_d1_diff_and_incremental(spark):
+    df = spark.createDataFrame(
+        [
+            (1, (1, "a", 10.0), (1, "b", 10.0)),
+            (2, (2, "x", 1.0), (2, "x", 1.0)),
+            (3, (3, None, 5.0), (3, "z", 6.0)),
+        ],
+        "id int, before struct<k:int,s:string,v:double>, "
+        "after struct<k:int,s:string,v:double>",
+    )
+    fields = ["k", "s", "v"]
+    out = D.with_diff(df, "before", "after", fields)
+    got = {r["id"]: (r["changed_fields"], r["update_class"]) for r in out.collect()}
+    assert got[1] == (1, "partial")  # 33% -> partial
+    assert got[2] == (0, "sparse")
+    assert got[3] == (2, "partial")  # 66% -> partial
+    inc = df.select(
+        "id", D.incremental_update(F.col("before"), F.col("after"), fields).alias("m")
+    )
+    m = {r["id"]: r["m"] for r in inc.collect()}
+    assert m[1] == {"s": "b"}
+    assert m[2] == {}
+    assert m[3] == {"s": "z", "v": "6.0"}
+
+
+def test_jsonb_udfs(spark):
+    from mysql_cdc_rs_spark.functions.udfs import jsonb_decode_udf, jsonb_path_udf
+    from mysql_cdc_rs_spark.kernel.jsonb import encode_jsonb
+
+    payload = encode_jsonb({"user": {"name": "bob"}, "n": 5})
+    df = spark.createDataFrame([(payload,), (None,), (b"\xff\xff",)], "p binary")
+    out = df.select(
+        jsonb_decode_udf("p").alias("j"),
+        jsonb_path_udf("p", F.lit("user.name")).alias("name"),
+    ).collect()
+    assert out[0]["j"] == '{"n":5,"user":{"name":"bob"}}'
+    assert out[0]["name"] == '"bob"'
+    assert out[1]["j"] is None
+    assert out[2]["j"] is None  # corrupt payload -> null, not exception
+
+
+def test_mysql_column_decoders(spark):
+    from mysql_cdc_rs_spark.functions import columns as C
+
+    df = spark.createDataFrame([(125,)], "y int")
+    assert df.select(C.mysql_year(F.col("y")).alias("x")).first()["x"] == 2025
+    v = (2025 << 9) | (8 << 5) | 16
+    d = spark.createDataFrame([(v,)], "v long").select(
+        C.mysql_date(F.col("v")).alias("d")
+    ).first()["d"]
+    assert str(d) == "2025-08-16"
+    t = spark.createDataFrame([(235959,)], "t long").select(
+        C.mysql_time_seconds(F.col("t")).alias("s")
+    ).first()["s"]
+    assert t == 23 * 3600 + 59 * 60 + 59
+
+
+def test_dedup_exact_on_known_dups(spark):
+    from mysql_cdc_rs_spark.operators import dedup as DD
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c"), (3, "x y z")], "doc_id long, text string"
+    )
+    stats = DD.exact_dedup_stats(docs).first()
+    assert (stats["n_docs"], stats["n_distinct_texts"], stats["n_redundant"]) == (
+        3,
+        2,
+        1,
+    )
+    groups = {r["keeper_id"]: r["n_copies"] for r in
+              DD.exact_dedup_keep_first(docs).collect()}
+    assert groups == {1: 2, 3: 1}
+
+
+def test_minhash_detects_near_dup(spark):
+    from mysql_cdc_rs_spark.operators import dedup as DD
+
+    base = "the quick brown fox jumps over the lazy dog again and again " * 3
+    near = base + "extra tail words here"
+    other = "completely different content with no overlap at all whatsoever " * 3
+    docs = spark.createDataFrame(
+        [(1, base), (2, near), (3, other)], "doc_id long, text string"
+    )
+    pairs = {(r["doc_a"], r["doc_b"]) for r in DD.lsh_candidate_pairs(docs).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+    jac = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in DD.ngram_jaccard_pairs(docs).collect()
+    }
+    assert jac[(1, 2)] > 0.5
+
+
+def test_simhash_similar_docs_close(spark):
+    from mysql_cdc_rs_spark.operators import dedup as DD
+
+    a = "alpha beta gamma delta epsilon zeta eta theta " * 4
+    b = a + "one extra word"
+    c = "totally unrelated vocabulary set nothing shared " * 4
+    docs = spark.createDataFrame(
+        [(1, a), (2, b), (3, c)], "doc_id long, text string"
+    )
+    sh = {r["doc_id"]: r["simhash"] for r in DD.simhash(docs).collect()}
+    ham = lambda x, y: bin(x ^ y).count("1")  # noqa: E731
+    assert ham(sh[1], sh[2]) < ham(sh[1], sh[3])
+
+
+def test_brute_force_topk_exact(spark):
+    from mysql_cdc_rs_spark.operators import similarity as SIM
+
+    vecs = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),   # closest to 0
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.5, 0.5, 0.0]),
+    ]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    out = SIM.brute_force_topk(emb, emb.filter(F.col("vec_id") == 0), k=2).collect()
+    assert [(r["rank"], r["neighbor_id"]) for r in out] == [(1, 1), (2, 3)]
+
+
+def test_multimodal_binary_stub(spark):
+    """Multimodal plumbing: binary column + typed metadata through
+    mapInPandas; actual decode is a deterministic stub (no image libs in
+    this container)."""
+    from mysql_cdc_rs_spark.operators.multimodal import extract_features
+
+    rows = [(i, bytes([i]) * (i + 10), "image/png") for i in range(20)]
+    df = spark.createDataFrame(rows, "id long, blob binary, mime string")
+    out = extract_features(df, blob_col="blob", mime_col="mime")
+    got = out.collect()
+    assert len(got) == 20
+    r = [x for x in got if x["id"] == 3][0]
+    assert r["n_bytes"] == 13
+    assert len(r["feature"]) == 8  # stub feature vector, deterministic
+    assert r["decode_status"] == "stubbed"

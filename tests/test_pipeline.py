@@ -1,0 +1,125 @@
+"""End-to-end pipeline invariants on the synthetic pages table.
+
+Mirrors the reference's integration tests
+(/root/reference/binlog/src/row/parser_integration_test.rs): byte-identical
+decode output, exact fan-out counts, routed-row equality, resume semantics.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from mysql_cdc_rs_spark.operators.decode import decode_pages, split_errors
+from mysql_cdc_rs_spark.operators.enrich import enrich
+from mysql_cdc_rs_spark.operators.route import ROUTES, write_routes
+from mysql_cdc_rs_spark.operators import stats as S
+from mysql_cdc_rs_spark.plans.pipeline import run_pipeline
+from mysql_cdc_rs_spark.sources.catalog import SinkCatalog
+from mysql_cdc_rs_spark.sources.pages import pages_df, pages_rows
+
+N = 1500
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    return pages_df(spark, N, seed=42).cache()
+
+
+@pytest.fixture(scope="module")
+def decoded(spark, pages):
+    return decode_pages(pages).cache()
+
+
+def test_byte_identical_text(decoded):
+    """North-rule invariant: UDF-decoded text == generator's kernel text."""
+    bad = decoded.filter(~F.col("text").eqNullSafe(F.col("text_expected"))).count()
+    assert bad == 0
+
+
+def test_event_taxonomy_exhaustive(decoded):
+    seen = {r["event_type"] for r in decoded.select("event_type").distinct().collect()}
+    from mysql_cdc_rs_spark.kernel.decode import EVENT_TYPES
+
+    assert seen <= set(EVENT_TYPES)
+    assert decoded.filter(F.col("event_type").isNull()).count() == 0
+
+
+def test_decode_matches_driver_oracle(decoded):
+    """Spark decode counts == pure-Python kernel counts (same rows)."""
+    from collections import Counter
+
+    from mysql_cdc_rs_spark.kernel.decode import decode_page
+
+    expected = Counter(
+        decode_page(raw)["event_type"] for _, _, raw, _, _ in pages_rows(N, seed=42)
+    )
+    got = {
+        r["event_type"]: r["n"]
+        for r in decoded.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == dict(expected)
+
+
+def test_split_errors_partitions_all_rows(decoded):
+    ok, err = split_errors(decoded)
+    assert ok.count() + err.count() == N
+    assert err.filter(F.col("error").isNull() & (F.col("status") < 400)).count() == 0
+
+
+def test_enrich_missing_key_error_route(spark, decoded):
+    enriched = enrich(decoded)
+    # 'it' lang and 'gov' tld are absent from dims by design
+    unmatched = enriched.filter(F.col("enrich_error").isNotNull())
+    assert unmatched.filter(F.col("route") != "errors").count() == 0
+    assert (
+        unmatched.filter(
+            (F.col("lang") != "it") & (F.col("tld") != "gov")
+        ).count()
+        == 0
+    )
+
+
+def test_routing_fanout_and_equality(spark, pages):
+    with tempfile.TemporaryDirectory() as base:
+        cat = SinkCatalog(spark, base)
+        enriched = enrich(decode_pages(pages))
+        counts = write_routes(enriched, cat)
+        assert set(counts) <= set(ROUTES)
+        assert sum(counts.values()) == N
+        routed = cat.read("routed")
+        # routed-row equality: same url multiset in == out
+        assert routed.select("url").exceptAll(pages.select("url")).count() == 0
+        assert pages.select("url").exceptAll(routed.select("url")).count() == 0
+        # per-sink manifest counts attest the written data
+        m = cat.read_manifest("routes")
+        assert m["counts"] == counts and m["total"] == N
+
+
+def test_pipeline_resume(spark, pages):
+    with tempfile.TemporaryDirectory() as base:
+        cat = SinkCatalog(spark, base)
+        r1 = run_pipeline(pages, cat, with_metrics=False)
+        r2 = run_pipeline(pages, cat, with_metrics=False)
+        assert r1.route_counts == r2.route_counts
+        # changed input -> recompute, not stale reuse
+        bigger = pages_df(spark, N + 100, seed=42)
+        r3 = run_pipeline(bigger, cat, with_metrics=False)
+        assert sum(r3.route_counts.values()) == N + 100
+
+
+def test_stats_consistency(decoded):
+    et = {r["event_type"]: r["n_events"] for r in S.event_type_stats(decoded).collect()}
+    assert sum(et.values()) == N
+    rollup = S.global_rollup(decoded).collect()
+    total_row = [r for r in rollup if r["event_type"] is None][0]
+    assert total_row["n_events"] == N
+    hist = S.size_histogram(decoded).collect()
+    assert sum(r["n"] for r in hist) == N
+
+
+def test_charset_variety(decoded):
+    cs = {r["charset"] for r in S.charset_stats(decoded).collect()}
+    assert {"utf-8", "latin-1", "gbk"} <= cs
