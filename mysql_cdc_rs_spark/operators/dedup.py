@@ -95,15 +95,27 @@ def lsh_candidate_pairs(
     banded = sig.select(
         "doc_id", F.explode(F.array(*band_cols)).alias("band")
     ).select("doc_id", "band.band_id", "band.bucket")
-    a = banded.alias("a")
-    b = banded.alias("b")
+    # Scale-critical shape: NO self-join (a self-join would recompute the
+    # whole shingle->minhash subtree twice and shuffle the corpus against
+    # itself).  Instead: groupBy bucket -> member list -> explode in-bucket
+    # pairs.  Bucket occupancy is small by LSH construction, so the pair
+    # arrays stay tiny; work is one shuffle on the bucket key.
     return (
-        a.join(b, ["band_id", "bucket"])
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
+        banded.groupBy("band_id", "bucket")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .where(F.size("ids") >= 2)
+        .select(F.explode(_pairs_expr("ids")).alias("p"))
+        .select(F.col("p.doc_a"), F.col("p.doc_b"))
         .distinct()
+    )
+
+
+def _pairs_expr(ids_col: str):
+    """array<long> (sorted) -> array<struct<doc_a,doc_b>> of all i<j pairs."""
+    return F.expr(
+        f"flatten(transform(sequence(1, size({ids_col}) - 1), "
+        f"i -> transform(slice({ids_col}, i + 1, size({ids_col}) - i), "
+        f"y -> struct(element_at({ids_col}, i) AS doc_a, y AS doc_b))))"
     )
 
 
@@ -115,12 +127,14 @@ def ngram_jaccard_pairs(docs: DataFrame, min_jaccard: float = 0.0) -> DataFrame:
     """
     sh = shingled(docs)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    # shared-shingle pairs without a self-join: groupBy shingle -> member
+    # list -> in-group pair explosion (same shape as lsh_candidate_pairs).
     inter = (
-        a.join(b, F.col("a.shingle") == F.col("b.shingle"))
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        sh.groupBy("shingle")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .where(F.size("ids") >= 2)
+        .select(F.explode(_pairs_expr("ids")).alias("p"))
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .agg(F.count("*").alias("n_inter"))
     )
     out = (

@@ -702,14 +702,12 @@ def _dlsh(spark, sf):
 def _djac(spark, sf):
     sh = DD.shingled(load(spark, sf, "documents"))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
     inter = (
-        a.join(b, F.col("a.shingle") == F.col("b.shingle"))
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
+        sh.groupBy("shingle")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .where(F.size("ids") >= 2)
+        .select(F.explode(DD._pairs_expr("ids")).alias("p"))
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .agg(F.count("*").alias("n_inter"))
         .filter(F.col("n_inter") >= 3)
     )
@@ -1038,3 +1036,83 @@ def _p_routes(spark, sf):
         .agg(F.count("*").alias("n"))
         .orderBy("route", "region")
     )
+
+
+# =========================================================================
+# Late additions: GTID interval merge (A8), JSON path (C14), near-dup pairs
+# =========================================================================
+
+@q(
+    "a8_interval_merge",
+    """
+    WITH islands AS (
+      SELECT user_id, event_id,
+             event_id - row_number() OVER (PARTITION BY user_id
+                                           ORDER BY event_id) AS island
+      FROM events
+    )
+    SELECT user_id,
+           count(DISTINCT island) AS n_intervals,
+           count(*) AS n_ids,
+           min(event_id) AS min_id, max(event_id) AS max_id
+    FROM islands GROUP BY user_id ORDER BY user_id
+    """,
+)
+def _a8(spark, sf):
+    """A8: GTID-set interval merge — consecutive-id runs coalesce into
+    intervals (gaps-and-islands), the declarative twin of GtidSet::add
+    (/root/reference/binlog/src/metadata/gtid_manager.rs:80-138)."""
+    ev = load(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    return (
+        ev.withColumn("island", F.col("event_id") - F.row_number().over(w))
+        .groupBy("user_id")
+        .agg(
+            F.count_distinct("island").alias("n_intervals"),
+            F.count("*").alias("n_ids"),
+            F.min("event_id").alias("min_id"),
+            F.max("event_id").alias("max_id"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@q(
+    "c14_json_path_extract",
+    """
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 7 AS k_mod7,
+           count(*) AS n
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+)
+def _c14(spark, sf):
+    """C14: JSON path extraction over the props column (JsonUtils analog,
+    /root/reference/binlog/src/column/decoders/json.rs:229-305)."""
+    ev = load(spark, sf, "events")
+    k = F.get_json_object("props", "$.k").cast("long") % 7
+    return (
+        ev.withColumn("k_mod7", k)
+        .groupBy("k_mod7")
+        .agg(F.count("*").alias("n"))
+        .orderBy("k_mod7")
+    )
+
+
+@q(
+    "emb_neardup_pairs",
+    f"""
+    WITH bkt AS (
+      SELECT vec_id, embedding,
+             {SIM.lsh_bucket_sql('embedding', _EMB_DIM)} AS bucket
+      FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+    FROM bkt a JOIN bkt b ON a.bucket = b.bucket
+    WHERE a.vec_id < b.vec_id
+      AND {_cos_sql('a.embedding', 'b.embedding', _EMB_DIM)} >= 0.35
+    ORDER BY vec_a, vec_b
+    """,
+)
+def _neardup(spark, sf):
+    emb = load(spark, sf, "embeddings")
+    return SIM.neardup_pairs(emb, dim=_EMB_DIM, min_cos=0.35)

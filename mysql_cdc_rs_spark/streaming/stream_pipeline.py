@@ -1,0 +1,138 @@
+"""Streaming pipeline: the live-replication analog (SURVEY §2.1 S5, §2.11).
+
+The reference's live source is a MySQL replication socket feeding the same
+decode path as files (/root/reference/connection/src/binlog/
+binlog_subscribe.rs:51-96); exactly-once progress is (file, log_pos, GTID)
+checkpointing.  Spark restatement:
+
+- source: ``readStream`` over an arriving-files pages directory (swap for
+  Kafka/Iceberg streaming read in production — the transformations are
+  shared with the batch pipeline verbatim);
+- decode/enrich: the SAME functions as batch (one code path, two runners);
+- sink: ``foreachBatch`` fan-out append per route — micro-batch transactional
+  writes are the relay-log segment append analog (S7);
+- progress: Structured Streaming checkpoint = GTID set (A8);
+- watermark + windowed counts = heartbeat/liveness metrics (A9);
+- custom stateful operator via ``applyInPandasWithState`` = the reference's
+  per-key decoder context (TableMap cache) held in managed state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from mysql_cdc_rs_spark.operators.decode import decode_pages
+from mysql_cdc_rs_spark.operators.enrich import enrich
+from mysql_cdc_rs_spark.operators.route import route_table
+
+PAGES_DDL = (
+    "url string, warc_ts timestamp, html binary, text string, lang string"
+)
+
+
+def stream_pages(spark, pages_dir: str, max_files_per_trigger: int = 8) -> DataFrame:
+    """File-arrival streaming source over the pages directory."""
+    return (
+        spark.readStream.schema(PAGES_DDL)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(pages_dir)
+    )
+
+
+def start_routing_stream(
+    stream_df: DataFrame, sink_dir: str, checkpoint_dir: str
+):
+    """decode -> enrich -> per-route fan-out append, exactly-once via
+    checkpoint.  Returns the StreamingQuery (availableNow trigger so tests
+    and backfills drain the source then stop)."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        routed = route_table(enrich(decode_pages(batch_df)))
+        routed.write.mode("append").partitionBy("route").parquet(
+            f"{sink_dir}/routed"
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def start_windowed_metrics_stream(
+    stream_df: DataFrame,
+    sink_dir: str,
+    checkpoint_dir: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+):
+    """A9/heartbeat analog: watermarked event-time windowed per-type counts."""
+    decoded = decode_pages(stream_df)
+    agg = (
+        decoded.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window).alias("w"), F.col("event_type"))
+        .agg(F.count("*").alias("n"), F.sum("raw_len").alias("bytes"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+            "bytes",
+        )
+    )
+    return (
+        agg.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .format("parquet")
+        .option("path", f"{sink_dir}/windowed_metrics")
+        .start()
+    )
+
+
+# --- custom stateful operator (applyInPandasWithState) ----------------------
+
+HOST_STATE_SCHEMA = "n long, bytes long"
+HOST_OUT_SCHEMA = "host string, n_total long, bytes_total long"
+
+
+def _host_stats_fn(key, pdf_iter, state: GroupState):
+    """Running per-host totals carried in managed state — the streaming
+    analog of the reference's per-key decoder context (TableMap cache,
+    /root/reference/binlog/src/row/parser.rs:30-103)."""
+    import pandas as pd
+
+    n, b = state.get if state.exists else (0, 0)
+    for pdf in pdf_iter:
+        n += len(pdf)
+        b += int(pdf["raw_len"].fillna(0).sum())
+    state.update((n, b))
+    yield pd.DataFrame({"host": [key[0]], "n_total": [n], "bytes_total": [b]})
+
+
+def start_host_stats_stream(stream_df: DataFrame, sink_dir: str, checkpoint_dir: str):
+    """Stateful per-host running stats; update-mode memory-friendly output."""
+    decoded = decode_pages(stream_df).select("host", "raw_len")
+    stats = decoded.groupBy("host").applyInPandasWithState(
+        _host_stats_fn,
+        outputStructType=HOST_OUT_SCHEMA,
+        stateStructType=HOST_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return (
+        stats.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(
+            # append update rows; totals are monotone so the latest value per
+            # host is max(n_total) — readers take the max per key
+            lambda df, _id: df.write.mode("append").parquet(
+                f"{sink_dir}/host_stats"
+            )
+        )
+        .trigger(availableNow=True)
+        .start()
+    )

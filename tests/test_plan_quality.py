@@ -1,0 +1,58 @@
+"""Plan-quality regression tests: the physical plans the engine is designed
+around must not silently degrade (UDF duplication, lost broadcast, lost
+pushdown).  Formatted explain prints each node twice (tree + details)."""
+
+from __future__ import annotations
+
+import pytest
+
+SF = "/root/testdata/sf0.01"
+
+
+def _formatted(spark, df) -> str:
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+@pytest.fixture(scope="module")
+def pipeline_plan(spark):
+    from mysql_cdc_rs_spark.operators.decode import decode_pages
+    from mysql_cdc_rs_spark.operators.enrich import enrich
+    from mysql_cdc_rs_spark.sources.pages_from_documents import pages_from_documents
+
+    return _formatted(spark, enrich(decode_pages(pages_from_documents(spark, SF))))
+
+
+def test_decode_udf_evaluated_exactly_once(pipeline_plan):
+    assert pipeline_plan.count("ArrowEvalPython") == 2  # 1 node x (tree+detail)
+
+
+def test_dim_joins_are_broadcast_no_shuffle(pipeline_plan):
+    assert pipeline_plan.count("BroadcastHashJoin") == 4  # 2 nodes
+    assert "SortMergeJoin" not in pipeline_plan
+    assert "ShuffleExchange" not in pipeline_plan
+
+
+def test_q1_scan_pushdown_and_pruning(spark):
+    from mysql_cdc_rs_spark.queries import QUERIES
+
+    plan = _formatted(spark, QUERIES["q1_pricing_summary"](spark, SF))
+    assert "LessThanOrEqual(l_shipdate" in plan  # PushedFilters
+    assert "ReadSchema: struct<l_quantity" in plan  # column pruning
+
+
+def test_lsh_single_documents_scan(spark):
+    from mysql_cdc_rs_spark.queries import QUERIES
+
+    plan = _formatted(spark, QUERIES["dedup_lsh_pairs"](spark, SF))
+    assert plan.count("documents.parquet") == 1
+
+
+def test_ann_corpus_not_shuffled(spark):
+    from mysql_cdc_rs_spark.queries import QUERIES
+
+    plan = _formatted(spark, QUERIES["ann_brute_force_topk"](spark, SF))
+    assert "BroadcastNestedLoop" in plan or "BroadcastHashJoin" in plan

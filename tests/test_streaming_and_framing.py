@@ -1,0 +1,153 @@
+"""Streaming pipeline (S5 analog) and frame-splitter (S3/S4) tests."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from mysql_cdc_rs_spark.sources.framing import frame_blobs, pack_records, split_records
+from mysql_cdc_rs_spark.sources.pages import make_record, pages_df
+
+
+def _http(body: bytes, i: int) -> bytes:
+    return (
+        f"HTTP/1.1 200 OK\r\nContent-Type: text/plain; charset=utf-8\r\n"
+        f"Content-Length: {len(body)}\r\nX-I: {i}\r\n\r\n"
+    ).encode() + body
+
+
+# --- framing -----------------------------------------------------------------
+
+def test_split_records_roundtrip():
+    recs = [_http(f"body-{i}".encode(), i) for i in range(5)]
+    out, err = split_records(pack_records(recs))
+    assert err is None and out == recs
+
+
+def test_split_records_truncated_tail():
+    recs = [_http(b"aaa", 0), _http(b"bbb", 1)]
+    blob = pack_records(recs)[:-2]  # cut the tail record
+    out, err = split_records(blob)
+    assert out == recs[:1] and err == "TRUNCATED_TAIL"
+
+
+def test_split_records_garbage_start():
+    out, err = split_records(b"NOT-HTTP" + _http(b"x", 0))
+    assert out == [] and err == "BAD_FRAME_START"
+
+
+def test_frame_blobs_spark(spark):
+    recs_a = [_http(f"a{i}".encode(), i) for i in range(3)]
+    recs_b = [_http(f"b{i}".encode(), i) for i in range(2)]
+    rows = [
+        (0, pack_records(recs_a)),
+        (1, pack_records(recs_b)[:-1]),  # truncated
+        (2, None),
+    ]
+    df = spark.createDataFrame(rows, "chunk_id long, blob binary")
+    out = frame_blobs(df).collect()
+    good = [(r["chunk_id"], r["record_idx"]) for r in out if r["frame_error"] is None]
+    errs = {r["chunk_id"]: r["frame_error"] for r in out if r["frame_error"]}
+    assert sorted(good) == [(0, 0), (0, 1), (0, 2), (1, 0)]
+    assert errs == {1: "TRUNCATED_TAIL", 2: "NULL_CHUNK"}
+    # framed records decode through the normal kernel path
+    from mysql_cdc_rs_spark.functions.udfs import decode_page_udf
+
+    dec = (
+        frame_blobs(df)
+        .filter(F.col("frame_error").isNull())
+        .select(decode_page_udf("record").alias("d"))
+        .select("d.event_type")
+        .collect()
+    )
+    assert {r["event_type"] for r in dec} == {"plain"}
+
+
+# --- streaming ----------------------------------------------------------------
+
+@pytest.mark.parametrize("n_first,n_second", [(600, 400)])
+def test_streaming_matches_batch_and_resumes(spark, n_first, n_second):
+    from mysql_cdc_rs_spark.streaming.stream_pipeline import (
+        start_routing_stream,
+        start_windowed_metrics_stream,
+        stream_pages,
+    )
+
+    with tempfile.TemporaryDirectory() as tmp:
+        src = f"{tmp}/pages"
+        sink = f"{tmp}/sink"
+        ckpt = f"{tmp}/ckpt"
+
+        # chunk 1 arrives
+        pages_df(spark, n_first, seed=42, num_partitions=4).write.mode(
+            "append"
+        ).parquet(src)
+        q = start_routing_stream(stream_pages(spark, src), sink, f"{ckpt}/route")
+        q.awaitTermination()
+        routed = spark.read.parquet(f"{sink}/routed")
+        assert routed.count() == n_first
+
+        # chunk 2 arrives; restart from checkpoint -> only new files processed
+        pages_df(spark, n_second, seed=99, num_partitions=4).write.mode(
+            "append"
+        ).parquet(src)
+        q2 = start_routing_stream(stream_pages(spark, src), sink, f"{ckpt}/route")
+        q2.awaitTermination()
+        routed = spark.read.parquet(f"{sink}/routed")
+        assert routed.count() == n_first + n_second  # exactly-once, no replay
+
+        # streaming totals == batch pipeline totals over the same input
+        from mysql_cdc_rs_spark.operators.decode import decode_pages
+        from mysql_cdc_rs_spark.operators.enrich import enrich
+
+        batch_counts = {
+            r["route"]: r["n"]
+            for r in enrich(decode_pages(spark.read.parquet(src)))
+            .groupBy("route")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        stream_counts = {
+            r["route"]: r["n"]
+            for r in routed.groupBy("route").agg(F.count("*").alias("n")).collect()
+        }
+        assert stream_counts == batch_counts
+
+        # watermarked windowed metrics stream runs and lands rows
+        qm = start_windowed_metrics_stream(
+            stream_pages(spark, src), sink, f"{ckpt}/metrics"
+        )
+        qm.awaitTermination()
+        # append-mode watermark emits only closed windows; with availableNow
+        # over bounded input the final window may be withheld — just assert
+        # the sink materialized with the right schema
+        mdir = f"{sink}/windowed_metrics"
+        assert os.path.isdir(mdir)
+
+
+def test_streaming_stateful_host_stats(spark):
+    from mysql_cdc_rs_spark.streaming.stream_pipeline import (
+        start_host_stats_stream,
+        stream_pages,
+    )
+
+    with tempfile.TemporaryDirectory() as tmp:
+        src = f"{tmp}/pages"
+        sink = f"{tmp}/sink"
+        pages_df(spark, 500, seed=42, num_partitions=8).write.parquet(src)
+        q = start_host_stats_stream(
+            stream_pages(spark, src, max_files_per_trigger=3),
+            sink,
+            f"{tmp}/ckpt",
+        )
+        q.awaitTermination()
+        stats = spark.read.parquet(f"{sink}/host_stats")
+        # latest value per host (totals are monotone across updates)
+        final = (
+            stats.groupBy("host").agg(F.max("n_total").alias("n")).collect()
+        )
+        got_total = sum(r["n"] for r in final)
+        assert got_total == 500
