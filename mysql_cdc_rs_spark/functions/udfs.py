@@ -46,11 +46,36 @@ DECODED_SCHEMA = StructType([StructField(n, t, True) for n, t in DECODED_FIELDS]
 _COLS = [n for n, _ in DECODED_FIELDS]
 
 
-@pandas_udf(DECODED_SCHEMA)
-def decode_page_udf(html: pd.Series) -> pd.DataFrame:
-    """binary html -> decoded struct (frame, dispatch, charset, text, route)."""
-    rows = [decode_page(b) for b in html]
-    return pd.DataFrame(rows, columns=_COLS)
+def make_decode_udf():
+    """Build the decode UDF, snapshotting the extension registries.
+
+    Executors run separate Python workers, so driver-side
+    ``register_mime_decoder`` calls would otherwise be invisible there.
+    Capturing the registry dicts in the closure makes cloudpickle ship the
+    registered functions BY VALUE with the UDF — the Spark analog of the
+    reference handing its decoder registry to each reader thread
+    (/root/reference/binlog/src/decoder/event_decoder_registry.rs:65-140).
+    """
+    from mysql_cdc_rs_spark.kernel import registry as _reg
+
+    mime_decoders = dict(_reg._MIME_DECODERS)  # noqa: SLF001
+    route_overrides = dict(_reg._ROUTE_OVERRIDES)  # noqa: SLF001
+
+    @pandas_udf(DECODED_SCHEMA)
+    def _decode(html: pd.Series) -> pd.DataFrame:
+        from mysql_cdc_rs_spark.kernel import registry as _r
+
+        _r._MIME_DECODERS.update(mime_decoders)  # noqa: SLF001
+        _r._ROUTE_OVERRIDES.update(route_overrides)  # noqa: SLF001
+        rows = [decode_page(b) for b in html]
+        return pd.DataFrame(rows, columns=_COLS)
+
+    return _decode
+
+
+# default instance (built-ins only; rebuilt by with_decoded so extensions
+# registered before plan construction are honored)
+decode_page_udf = make_decode_udf()
 
 
 @pandas_udf(StringType())
@@ -88,6 +113,7 @@ def with_decoded(df, html_col: str = "html", out_col: str = "decoded"):
     """Attach the decoded struct — the pipeline's single wide projection.
 
     One UDF call per row batch; downstream stages select struct fields so
-    Catalyst prunes what they don't use.
+    Catalyst prunes what they don't use.  The UDF is built at plan time so
+    extensions registered by then ship with it.
     """
-    return df.withColumn(out_col, decode_page_udf(F.col(html_col)))
+    return df.withColumn(out_col, make_decode_udf()(F.col(html_col)))

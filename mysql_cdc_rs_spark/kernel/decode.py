@@ -29,6 +29,7 @@ from typing import Any
 
 from mysql_cdc_rs_spark.kernel import charset as _cs
 from mysql_cdc_rs_spark.kernel import http as _http
+from mysql_cdc_rs_spark.kernel import registry as _registry
 from mysql_cdc_rs_spark.kernel import textextract as _tx
 
 EVENT_TYPES = [
@@ -102,6 +103,28 @@ def decode_page(raw: bytes | None) -> dict[str, Any]:
     if rec.status >= 400:
         out["event_type"] = "error_http"
         out["route"] = "errors"
+        return out
+
+    # extension point (§2.12): user-registered per-mime decoders take
+    # priority over the built-in dispatch, like the reference's TypeDecoder
+    # priority registry (column_parser.rs:209-258)
+    custom = _registry.lookup_mime_decoder(rec.mime)
+    if custom is not None:
+        codec, source = _cs.sniff_charset(rec.content_type, body)
+        out["charset"] = codec if source != "unknown" else None
+        out["charset_source"] = source
+        try:
+            partial = custom(body, out["charset"])
+        except Exception as e:  # noqa: BLE001 — extensions must not crash rows
+            out["event_type"] = "error_decode"
+            out["error"] = f"EXTENSION_ERROR:{type(e).__name__}"
+            return out
+        out.update(partial)
+        et = out["event_type"]
+        out["route"] = (
+            _registry.lookup_route(et)
+            or ROUTE_OF_EVENT.get(et, "content_binary")
+        )
         return out
 
     if 300 <= rec.status < 400 and "location" in rec.headers:

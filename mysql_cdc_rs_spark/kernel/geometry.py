@@ -1,0 +1,90 @@
+"""WKB geometry decoding (SURVEY §2.4 C15).
+
+Re-implemented from the public OGC WKB specification (byte-order flag,
+uint32 type code, coordinate payload).  MySQL prefixes geometry cells with a
+4-byte SRID, matching the reference's handling
+(/root/reference/binlog/src/column/decoders/geometry.rs:18-160).
+Supported: Point, LineString, Polygon, Multi* and GeometryCollection —
+the same set the reference enumerates.  Output is a plain dict (GeoJSON-ish)
+so the Spark layer can keep it as canonical JSON text.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Any
+
+TYPE_NAMES = {
+    1: "Point",
+    2: "LineString",
+    3: "Polygon",
+    4: "MultiPoint",
+    5: "MultiLineString",
+    6: "MultiPolygon",
+    7: "GeometryCollection",
+}
+
+
+def parse_mysql_geometry(buf: bytes) -> dict[str, Any]:
+    """MySQL cell = SRID u32 LE + WKB."""
+    srid = int.from_bytes(buf[:4], "little")
+    geom, _ = _parse_wkb(buf, 4)
+    geom["srid"] = srid
+    return geom
+
+
+def _parse_wkb(buf: bytes, pos: int) -> tuple[dict[str, Any], int]:
+    byte_order = buf[pos]
+    endian = "<" if byte_order == 1 else ">"
+    pos += 1
+    (type_code,) = struct.unpack_from(endian + "I", buf, pos)
+    pos += 4
+    name = TYPE_NAMES.get(type_code)
+    if name is None:
+        raise ValueError(f"unsupported WKB type {type_code}")
+
+    def point(p):
+        x, y = struct.unpack_from(endian + "dd", buf, p)
+        return [x, y], p + 16
+
+    def ring(p):
+        (n,) = struct.unpack_from(endian + "I", buf, p)
+        p += 4
+        pts = []
+        for _ in range(n):
+            pt, p = point(p)
+            pts.append(pt)
+        return pts, p
+
+    if name == "Point":
+        coords, pos = point(pos)
+    elif name == "LineString":
+        coords, pos = ring(pos)
+    elif name == "Polygon":
+        (nr,) = struct.unpack_from(endian + "I", buf, pos)
+        pos += 4
+        coords = []
+        for _ in range(nr):
+            r, pos = ring(pos)
+            coords.append(r)
+    else:  # Multi* / GeometryCollection: n child geometries
+        (n,) = struct.unpack_from(endian + "I", buf, pos)
+        pos += 4
+        children = []
+        for _ in range(n):
+            child, pos = _parse_wkb(buf, pos)
+            children.append(child)
+        if name == "GeometryCollection":
+            return {"type": name, "geometries": children}, pos
+        coords = [c["coordinates"] for c in children]
+    return {"type": name, "coordinates": coords}, pos
+
+
+def encode_point(x: float, y: float, srid: int = 0) -> bytes:
+    """Test helper: MySQL geometry cell for a Point (little-endian WKB)."""
+    return (
+        srid.to_bytes(4, "little")
+        + b"\x01"
+        + struct.pack("<I", 1)
+        + struct.pack("<dd", x, y)
+    )

@@ -86,3 +86,25 @@ def read_bitmap_le(buf: bytes, pos: int, nbits: int) -> tuple[list[bool], int]:
     nbytes = (nbits + 7) // 8
     chunk = buf[pos : pos + nbytes]
     return [bool((chunk[i >> 3] >> (i & 7)) & 1) for i in range(nbits)], pos + nbytes
+
+
+# --- STRING metadata disambiguation (SURVEY §2.4 C17) -----------------------
+# MySQL packs the REAL type (CHAR vs ENUM vs SET) of a MYSQL_TYPE_STRING cell
+# into its 2 metadata bytes, with a bit-split encoding for lengths > 255
+# (upstream bug #37426 workaround).  Re-implemented from the public
+# libbinlogevents docs; parity:
+# /root/reference/binlog/src/row/actual_string_type.rs:7-27.
+
+TYPE_ENUM = 247
+TYPE_SET = 248
+TYPE_STRING = 254
+
+
+def actual_string_type(meta0: int, meta1: int) -> tuple[int, int]:
+    """(meta byte0, byte1) -> (real_type_code, max_length)."""
+    if meta0 in (TYPE_ENUM, TYPE_SET):
+        return meta0, meta1
+    if (meta0 & 0x30) != 0x30:
+        # length > 255: two high bits of the length hide in ~byte0's 0x30
+        return meta0 | 0x30, meta1 | (((meta0 & 0x30) ^ 0x30) << 4)
+    return meta0, meta1

@@ -155,3 +155,55 @@ def neardup_pairs(corpus: DataFrame, dim: int, min_cos: float) -> DataFrame:
         )
         .orderBy("vec_a", "vec_b")
     )
+
+
+# --- IVF (inverted-file) path ------------------------------------------------
+
+def ivf_assign(corpus: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Assign every vector to its max-cosine centroid (coarse quantizer).
+
+    At 10^12 scale the assignment is a one-off build job and the centroid id
+    becomes the table's physical partition key; queries probe one (or a few)
+    centroid partitions — partition pruning does the candidate cut.
+    Centroids broadcast; the corpus is scanned once, never shuffled.
+    """
+    c = centroids.select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_emb")
+    )
+    scored = corpus.crossJoin(broadcast(c)).withColumn(
+        "cent_sim", cosine(F.col("embedding"), F.col("cent_emb"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cent_sim").desc(), F.col("cent_id").asc()
+    )
+    return (
+        scored.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") == 1)
+        .select("vec_id", "embedding", "cent_id")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame, queries: DataFrame, centroids: DataFrame, k: int = 10
+) -> DataFrame:
+    """ANN top-k probing only the query's IVF cell (nprobe=1)."""
+    assigned = ivf_assign(corpus, centroids)
+    q = ivf_assign(queries, centroids).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        "cent_id",
+    )
+    scored = (
+        assigned.join(broadcast(q), "cent_id")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .withColumn("sim", cosine(F.col("q_emb"), F.col("embedding")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", F.col("vec_id").alias("neighbor_id"))
+        .orderBy("query_id", "rank")
+    )

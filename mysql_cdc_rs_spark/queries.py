@@ -1116,3 +1116,72 @@ def _c14(spark, sf):
 def _neardup(spark, sf):
     emb = load(spark, sf, "embeddings")
     return SIM.neardup_pairs(emb, dim=_EMB_DIM, min_cos=0.35)
+
+
+@q(
+    "ann_ivf_topk",
+    f"""
+    WITH cent AS (SELECT vec_id AS cent_id, embedding AS cent_emb
+                  FROM embeddings WHERE vec_id % 50 = 0),
+    assigned AS (
+      SELECT vec_id, embedding, cent_id FROM (
+        SELECT e.vec_id, e.embedding, c.cent_id,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_cos_sql('e.embedding', 'c.cent_emb', _EMB_DIM)} DESC,
+                          c.cent_id ASC) AS r
+        FROM embeddings e CROSS JOIN cent c
+      ) WHERE r = 1
+    ),
+    q AS (SELECT vec_id AS query_id, embedding AS q_emb, cent_id
+          FROM assigned WHERE vec_id < 10),
+    scored AS (
+      SELECT q.query_id, a.vec_id,
+             {_cos_sql('q.q_emb', 'a.embedding', _EMB_DIM)} AS sim
+      FROM assigned a JOIN q ON a.cent_id = q.cent_id
+      WHERE a.vec_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT query_id, vec_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, vec_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, rank, vec_id AS neighbor_id
+    FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+    """,
+)
+def _ann_ivf(spark, sf):
+    """IVF ANN: coarse-quantizer cells as the scale path (nprobe=1)."""
+    emb = load(spark, sf, "embeddings")
+    centroids = emb.filter(F.col("vec_id") % 50 == 0)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return SIM.ivf_topk(emb, queries, centroids, k=5)
+
+
+@q(
+    "skew_salted_agg",
+    f"""
+    SELECT user_id % 10 AS hot_key, count(*) AS n,
+           sum({E('value', 2)}) AS sum_value_e2
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+)
+def _salted(spark, sf):
+    """Skew handling (SURVEY §4 item 2): two-phase salted aggregation over a
+    deliberately hot key — partial agg on (key, salt), final agg on key.
+    Result must equal the direct single-phase oracle exactly."""
+    ev = load(spark, sf, "events")
+    salted = ev.select(
+        (F.col("user_id") % 10).alias("hot_key"),
+        F.pmod(F.xxhash64("event_id"), F.lit(8)).alias("salt"),
+        e_units(F.col("value"), 2).alias("v_e2"),
+    )
+    partial = salted.groupBy("hot_key", "salt").agg(
+        F.count("*").alias("pn"), F.sum("v_e2").alias("pv")
+    )
+    return (
+        partial.groupBy("hot_key")
+        .agg(F.sum("pn").alias("n"), F.sum("pv").alias("sum_value_e2"))
+        .orderBy("hot_key")
+    )
