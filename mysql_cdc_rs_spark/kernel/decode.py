@@ -86,7 +86,8 @@ def decode_page(raw: bytes | None) -> dict[str, Any]:
         return out
 
     out["status"] = rec.status
-    out["mime"] = rec.mime
+    mime = rec.mime  # computed once; property does bytes work per call
+    out["mime"] = mime
     out["header_len"] = rec.header_len
     enc = rec.headers.get("content-encoding")
     out["content_encoding"] = (
@@ -108,7 +109,7 @@ def decode_page(raw: bytes | None) -> dict[str, Any]:
     # extension point (§2.12): user-registered per-mime decoders take
     # priority over the built-in dispatch, like the reference's TypeDecoder
     # priority registry (column_parser.rs:209-258)
-    custom = _registry.lookup_mime_decoder(rec.mime)
+    custom = _registry.lookup_mime_decoder(mime)
     if custom is not None:
         codec, source = _cs.sniff_charset(rec.content_type, body)
         out["charset"] = codec if source != "unknown" else None
@@ -133,7 +134,6 @@ def decode_page(raw: bytes | None) -> dict[str, Any]:
         out["text"] = rec.headers["location"].decode("ascii", "replace")
         return out
 
-    mime = rec.mime
     if mime in _TEXT_MIMES_HTML or mime in _TEXT_MIMES_PLAIN:
         codec, source = _cs.sniff_charset(rec.content_type, body)
         out["charset_source"] = source
