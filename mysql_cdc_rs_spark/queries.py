@@ -1185,3 +1185,87 @@ def _salted(spark, sf):
         .agg(F.sum("pn").alias("n"), F.sum("pv").alias("sum_value_e2"))
         .orderBy("hot_key")
     )
+
+
+@q(
+    "c12_packed_decimal_roundtrip",
+    """
+    WITH v AS (
+      SELECT o_orderkey,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS e2
+      FROM orders
+    )
+    SELECT o_orderkey,
+           CAST(e2 // 100 AS VARCHAR) || '.' ||
+             lpad(CAST(e2 % 100 AS VARCHAR), 2, '0') AS decimal_str
+    FROM v ORDER BY o_orderkey
+    """,
+)
+def _c12(spark, sf):
+    """C12: MySQL packed-NewDecimal BINARY round-trip through the kernel —
+    each price is formatted to its exact decimal string, encoded to the
+    9-digits-per-4-bytes wire format, decoded back by the same code the
+    decode UDFs use, and compared against an integer-constructed oracle
+    (parity: /root/reference/binlog/src/row/decimal.rs:10-106)."""
+    import pandas as pd
+
+    from mysql_cdc_rs_spark.kernel.mysql_decimal import (
+        encode_decimal,
+        parse_decimal,
+    )
+
+    orders = load(spark, sf, "orders").select(
+        "o_orderkey", e_units(F.col("o_totalprice"), 2).alias("e2")
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for k, e2 in zip(pdf["o_orderkey"], pdf["e2"]):
+                s = f"{int(e2) // 100}.{int(e2) % 100:02d}"
+                wire = encode_decimal(s, 18, 2)  # -> binary wire format
+                decoded, _ = parse_decimal(wire, 0, 18, 2)  # <- and back
+                out.append((int(k), decoded))
+            yield pd.DataFrame(out, columns=["o_orderkey", "decimal_str"])
+
+    return orders.mapInPandas(
+        gen, schema="o_orderkey long, decimal_str string"
+    ).orderBy("o_orderkey")
+
+
+@q(
+    "c13_jsonb_roundtrip",
+    r"""
+    SELECT event_id,
+           '{"k":' || regexp_extract(props, '"k": (\d+)', 1) || '}'
+             AS canonical_json
+    FROM events WHERE event_id < 2000 ORDER BY event_id
+    """,
+)
+def _c13(spark, sf):
+    """C13: binary-JSON (JSONB) round-trip — props parsed, encoded to the
+    MySQL JSONB wire format, decoded by the registered UDF back to canonical
+    JSON text (parity: /root/reference/binlog/src/column/decoders/json.rs)."""
+    import json
+
+    import pandas as pd
+
+    from mysql_cdc_rs_spark.functions.udfs import jsonb_decode_udf
+    from mysql_cdc_rs_spark.kernel.jsonb import encode_jsonb
+
+    ev = load(spark, sf, "events").filter(F.col("event_id") < 2000).select(
+        "event_id", "props"
+    )
+
+    def to_wire(batches):
+        for pdf in batches:
+            out = [
+                (int(i), encode_jsonb(json.loads(p)))
+                for i, p in zip(pdf["event_id"], pdf["props"])
+            ]
+            yield pd.DataFrame(out, columns=["event_id", "jsonb"])
+
+    wire = ev.mapInPandas(to_wire, schema="event_id long, jsonb binary")
+    return wire.select(
+        "event_id", jsonb_decode_udf("jsonb").alias("canonical_json")
+    ).orderBy("event_id")
