@@ -19,6 +19,32 @@ if _REPO_DIR not in sys.path:
 
 from pyspark.sql import DataFrame, SparkSession  # noqa: E402
 
+_SHIPPED: set[str] = set()
+
+
+def _ensure_shipped(spark: SparkSession) -> None:
+    """Ship the package to executors (addPyFile) once per SparkContext.
+
+    The harness may run with any cwd/PYTHONPATH; UDF closures reference
+    ``mysql_cdc_rs_spark`` by module, so executor Python workers must be able
+    to import it.  A zip shipped via addPyFile lands on every worker's
+    sys.path regardless of environment (verified: without this, queries fail
+    with ModuleNotFoundError whenever cwd != repo root).
+    """
+    sc = spark.sparkContext
+    key = sc.applicationId  # NOT id(sc): ids are recycled across restarts
+    if key in _SHIPPED:
+        return
+    import shutil
+    import tempfile
+
+    zip_base = os.path.join(tempfile.gettempdir(), "mysql_cdc_rs_spark_pkg")
+    zip_path = shutil.make_archive(
+        zip_base, "zip", root_dir=_REPO_DIR, base_dir="mysql_cdc_rs_spark"
+    )
+    sc.addPyFile(zip_path)
+    _SHIPPED.add(key)
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full pipeline over sf0.001-derived pages -> per-route/region
@@ -29,6 +55,7 @@ def entry(spark: SparkSession) -> DataFrame:
     from mysql_cdc_rs_spark.operators.enrich import enrich
     from mysql_cdc_rs_spark.sources.pages_from_documents import pages_from_documents
 
+    _ensure_shipped(spark)
     pages = pages_from_documents(spark, "/root/testdata/sf0.001")
     enriched = enrich(decode_pages(pages))
     return (
@@ -44,7 +71,14 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from mysql_cdc_rs_spark.queries import QUERIES
 
-    return dict(QUERIES)
+    def _wrap(fn):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _ensure_shipped(spark)
+            return fn(spark, sf_dir)
+
+        return run
+
+    return {name: _wrap(fn) for name, fn in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
