@@ -7,14 +7,14 @@ Phases:
      per-sink counts) at local[$SPARK_GRAFT_CPUS]  => pages/sec;
   3. operator queries at $SPARK_GRAFT_SF_DIR (default sf0.1), per-query sec
      (noop-write sink: measures compute, not driver collect serialization);
-  4. scaling evidence (north-rule N -> 4N proxy): the decode->enrich->route
-     aggregate pipeline at local[2] vs local[8] over the SAME memory-cached
-     input, best-of-3; efficiency = (T_8 / T_2) / 4.
-     Why cached + why 2/8: on ONE box the parquet-scan CPU and the Python
-     decode workers contend for the same cores — a multi-executor fleet
-     scales scan CPU with the fleet.  Caching isolates the pipeline's own
-     scaling; 2 -> 8 keeps both levels clear of the 32-core host's
-     oversubscription (each UDF task needs a JVM thread + a Python worker).
+  4. scaling evidence (north-rule N -> 4N proxy): paired rounds — the
+     decode->enrich->route-aggregate pipeline at 1 core and 4 cores run
+     seconds apart in ONE session over the same memory-cached input;
+     efficiency = (thr_4core / thr_1core) / 4 from the quietest of 4 rounds
+     (least total normalized work-time).  Rationale: this is a shared noisy
+     host (neighbor load 3-7 with zero processes of ours); paired ratios
+     cancel slow-varying load, the <=8-thread footprint avoids contention,
+     and the quietest round is the least contaminated estimate.
      Full-pipeline (uncached, with sink write) numbers at local[8] and
      local[32] are also reported for transparency.
 
@@ -47,7 +47,7 @@ PAGES_PARQUET = f"{WORK}/pages_{N_PAGES}_32f"
 # dedicated larger input for the scaling measurement: fixed job overheads
 # (~2-3s at local[8]: shuffle stage setup, broadcast builds, agg collect)
 # must be amortized or they masquerade as poor scaling
-SCALING_N = int(os.environ.get("SPARK_GRAFT_SCALING_N", "600000"))
+SCALING_N = int(os.environ.get("SPARK_GRAFT_SCALING_N", "400000"))
 SCALING_PARQUET = f"{WORK}/pages_{SCALING_N}_32f"
 
 BENCH_QUERIES = [
@@ -70,12 +70,24 @@ BENCH_QUERIES = [
 
 
 def build(master: str, extra: dict | None = None):
+    import shutil
+    import tempfile
+
     from mysql_cdc_rs_spark.session import build_session
 
     conf = {"spark.ui.showConsoleProgress": "false"}
     conf.update(extra or {})
     s = build_session("bench", master=master, extra_conf=conf)
     s.sparkContext.setLogLevel("ERROR")
+    # ship the package so executor python workers can import it regardless
+    # of the invoking process's cwd (UDF closures reference it by module)
+    zip_path = shutil.make_archive(
+        os.path.join(tempfile.gettempdir(), "mysql_cdc_rs_spark_pkg"),
+        "zip",
+        root_dir=REPO,
+        base_dir="mysql_cdc_rs_spark",
+    )
+    s.sparkContext.addPyFile(zip_path)
     return s
 
 
@@ -152,15 +164,7 @@ def main() -> None:
 
     # --- scaling evidence ----------------------------------------------------
     if not SKIP_SCALING:
-        # Paired-ratio protocol: both parallelism levels run seconds apart
-        # in ONE session (1 core via coalesce(1) on the cached input vs 4
-        # cores via coalesce(4)), so slowly-varying neighbor load on this
-        # shared host cancels in the ratio AND the job footprint (<=8 hw
-        # threads incl. python workers) stays clear of neighbor load on the
-        # 32-core box.  Efficiency = best over 3 paired rounds of
-        # (thr_4core/thr_1core)/4.  (Independent sessions measured 0.59-0.98
-        # purely from host noise; paired 1v4 rounds held 0.82-0.99 under
-        # load-average-5 conditions.)
+        # Paired-ratio protocol — see module docstring phase 4.
         from pyspark.sql import functions as F
 
         from mysql_cdc_rs_spark.operators.decode import decode_pages
@@ -182,7 +186,7 @@ def main() -> None:
         _leg(leg_big)
         _leg(leg_small)  # warm both legs
         rounds = []
-        for _ in range(3):
+        for _ in range(4):
             t1 = _leg(leg_small)
             t4 = _leg(leg_big)
             rounds.append(
@@ -193,12 +197,17 @@ def main() -> None:
                 }
             )
         s.stop()
-        best = max(r["efficiency"] for r in rounds)
-        best_r = [r for r in rounds if r["efficiency"] == best][0]
+        # "quietest round" estimator: neighbor load inflates whichever leg it
+        # hits, biasing the ratio either direction; the round with the least
+        # total normalized work-time (t1 + 4*t4, equal ideal CPU-seconds per
+        # leg) carries the least contamination, so its ratio is the cleanest
+        # point estimate of the noise-free efficiency.
+        best_r = min(rounds, key=lambda r: r["1core_sec"] + 4 * r["4core_sec"])
+        best = best_r["efficiency"]
         scaling = {
             "protocol": f"paired rounds, {SCALING_N} memory-cached pages, "
             "1 core vs 4 cores (coalesce) in one session; efficiency = "
-            "(thr_4core/thr_1core)/4, best of 3 rounds",
+            "(thr_4core/thr_1core)/4, quietest of 4 rounds",
             "rounds": rounds,
             "N_cores=1": {
                 "sec": best_r["1core_sec"],
