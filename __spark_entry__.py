@@ -23,27 +23,12 @@ _SHIPPED: set[str] = set()
 
 
 def _ensure_shipped(spark: SparkSession) -> None:
-    """Ship the package to executors (addPyFile) once per SparkContext.
+    """Ship the package to executors (the harness may pass a session built
+    without our build_session and from any cwd; verified: without this,
+    queries fail with ModuleNotFoundError whenever cwd != repo root)."""
+    from mysql_cdc_rs_spark.session import ship_package
 
-    The harness may run with any cwd/PYTHONPATH; UDF closures reference
-    ``mysql_cdc_rs_spark`` by module, so executor Python workers must be able
-    to import it.  A zip shipped via addPyFile lands on every worker's
-    sys.path regardless of environment (verified: without this, queries fail
-    with ModuleNotFoundError whenever cwd != repo root).
-    """
-    sc = spark.sparkContext
-    key = sc.applicationId  # NOT id(sc): ids are recycled across restarts
-    if key in _SHIPPED:
-        return
-    import shutil
-    import tempfile
-
-    zip_base = os.path.join(tempfile.gettempdir(), "mysql_cdc_rs_spark_pkg")
-    zip_path = shutil.make_archive(
-        zip_base, "zip", root_dir=_REPO_DIR, base_dir="mysql_cdc_rs_spark"
-    )
-    sc.addPyFile(zip_path)
-    _SHIPPED.add(key)
+    ship_package(spark)
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -70,24 +70,13 @@ BENCH_QUERIES = [
 
 
 def build(master: str, extra: dict | None = None):
-    import shutil
-    import tempfile
-
     from mysql_cdc_rs_spark.session import build_session
 
     conf = {"spark.ui.showConsoleProgress": "false"}
     conf.update(extra or {})
+    # build_session ships the package zip to executors (cwd-independent)
     s = build_session("bench", master=master, extra_conf=conf)
     s.sparkContext.setLogLevel("ERROR")
-    # ship the package so executor python workers can import it regardless
-    # of the invoking process's cwd (UDF closures reference it by module)
-    zip_path = shutil.make_archive(
-        os.path.join(tempfile.gettempdir(), "mysql_cdc_rs_spark_pkg"),
-        "zip",
-        root_dir=REPO,
-        base_dir="mysql_cdc_rs_spark",
-    )
-    s.sparkContext.addPyFile(zip_path)
     return s
 
 

@@ -101,3 +101,18 @@ def salted_key(key: Column, unique: Column, salt_buckets: int) -> Column:
     return F.concat_ws(
         "#", key, F.pmod(F.xxhash64(unique), F.lit(salt_buckets)).cast("string")
     )
+
+
+def classify_sql_col(sql: Column) -> Column:
+    """Column-expression twin of kernel.ddl.classify_sql (F4) — keeps the
+    cheap DDL/DML/TCL prefilter JVM-side so only DDL rows reach the Python
+    parser (the reference's cost dodge, query_parser.rs:25-28)."""
+    return (
+        F.when(
+            sql.rlike(r"^\s*(?i)(CREATE|ALTER|DROP|TRUNCATE|RENAME)\s+(?i)(TABLE|DATABASE|INDEX|VIEW)"),
+            "ddl",
+        )
+        .when(sql.rlike(r"^\s*(?i)(INSERT|UPDATE|DELETE|REPLACE)\b"), "dml")
+        .when(sql.rlike(r"^\s*(?i)(BEGIN|COMMIT|ROLLBACK|XA)\b"), "tcl")
+        .otherwise("other")
+    )

@@ -1269,3 +1269,96 @@ def _c13(spark, sf):
     return wire.select(
         "event_id", jsonb_decode_udf("jsonb").alias("canonical_json")
     ).orderBy("event_id")
+
+
+@q(
+    "f4_sql_classify",
+    r"""
+    WITH stmts AS (
+      SELECT CASE event_type
+               WHEN 'signup'   THEN 'CREATE TABLE t_' || user_id || ' (id INT)'
+               WHEN 'purchase' THEN 'INSERT INTO orders VALUES (' || event_id || ')'
+               WHEN 'click'    THEN 'BEGIN'
+               WHEN 'view'     THEN 'SELECT ' || event_id
+               ELSE 'DROP TABLE x_' || user_id
+             END AS sql FROM events
+    )
+    SELECT CASE
+             WHEN regexp_matches(sql, '^\s*(CREATE|ALTER|DROP|TRUNCATE|RENAME)\s+(TABLE|DATABASE|INDEX|VIEW)', 'i') THEN 'ddl'
+             WHEN regexp_matches(sql, '^\s*(INSERT|UPDATE|DELETE|REPLACE)\b', 'i') THEN 'dml'
+             WHEN regexp_matches(sql, '^\s*(BEGIN|COMMIT|ROLLBACK|XA)\b', 'i') THEN 'tcl'
+             ELSE 'other'
+           END AS sql_class,
+           count(*) AS n
+    FROM stmts GROUP BY 1 ORDER BY 1
+    """,
+)
+def _f4(spark, sf):
+    """F4: DDL-vs-DML classification as a JVM-side column expression over
+    synthesized statement text (is_ddl_event analog)."""
+    from mysql_cdc_rs_spark.functions.columns import classify_sql_col
+
+    ev = load(spark, sf, "events")
+    sql = (
+        F.when(
+            F.col("event_type") == "signup",
+            F.concat(F.lit("CREATE TABLE t_"), F.col("user_id"), F.lit(" (id INT)")),
+        )
+        .when(
+            F.col("event_type") == "purchase",
+            F.concat(F.lit("INSERT INTO orders VALUES ("), F.col("event_id"), F.lit(")")),
+        )
+        .when(F.col("event_type") == "click", F.lit("BEGIN"))
+        .when(F.col("event_type") == "view", F.concat(F.lit("SELECT "), F.col("event_id")))
+        .otherwise(F.concat(F.lit("DROP TABLE x_"), F.col("user_id")))
+    )
+    return (
+        ev.withColumn("sql_class", classify_sql_col(sql))
+        .groupBy("sql_class")
+        .agg(F.count("*").alias("n"))
+        .orderBy("sql_class")
+    )
+
+
+@q(
+    "d2_incremental_update",
+    f"""
+    WITH w AS (
+      SELECT event_id,
+             {E('value', 2)} AS v_e2,
+             event_type,
+             lag({E('value', 2)}) OVER win AS pv,
+             lag(event_type) OVER win AS pt
+      FROM events
+      WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_id,
+           concat_ws(',',
+             CASE WHEN v_e2 <> pv THEN 'value_e2=' || v_e2 END,
+             CASE WHEN event_type <> pt THEN 'type=' || event_type END
+           ) AS delta
+    FROM w WHERE pv IS NOT NULL
+    ORDER BY event_id
+    """,
+)
+def _d2(spark, sf):
+    """D2: sparse incremental-update representation — only changed fields,
+    serialized canonically (to_incremental_update analog,
+    /root/reference/binlog/src/row/row_data.rs:247-254)."""
+    ev = load(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    v = e_units(F.col("value"), 2)
+    pv = F.lag(v).over(w)
+    pt = F.lag("event_type").over(w)
+    delta = F.concat_ws(
+        ",",
+        F.when(v != pv, F.concat(F.lit("value_e2="), v)),
+        F.when(F.col("event_type") != pt, F.concat(F.lit("type="), F.col("event_type"))),
+    )
+    return (
+        ev.withColumn("delta", delta)
+        .withColumn("pv", pv)
+        .filter(F.col("pv").isNotNull())
+        .select("event_id", "delta")
+        .orderBy("event_id")
+    )

@@ -57,7 +57,37 @@ def build_session(
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    ship_package(spark)
+    return spark
+
+
+_SHIPPED: set[str] = set()
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Ship this package to executors (addPyFile), once per SparkContext.
+
+    UDF closures reference the package by module, so executor Python workers
+    must import it — and they inherit neither the caller's cwd nor its
+    sys.path edits.  Keyed on applicationId (id(sc) is recycled across
+    session restarts).
+    """
+    sc = spark.sparkContext
+    if sc.applicationId in _SHIPPED:
+        return
+    import shutil
+    import tempfile
+
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    zip_path = shutil.make_archive(
+        os.path.join(tempfile.gettempdir(), "mysql_cdc_rs_spark_pkg"),
+        "zip",
+        root_dir=pkg_root,
+        base_dir="mysql_cdc_rs_spark",
+    )
+    sc.addPyFile(zip_path)
+    _SHIPPED.add(sc.applicationId)
 
 
 def get_active_or_build(**kwargs) -> SparkSession:

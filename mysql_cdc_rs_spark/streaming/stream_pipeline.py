@@ -136,3 +136,36 @@ def start_host_stats_stream(stream_df: DataFrame, sink_dir: str, checkpoint_dir:
         .trigger(availableNow=True)
         .start()
     )
+
+
+def start_session_window_stream(
+    stream_df: DataFrame,
+    sink_dir: str,
+    checkpoint_dir: str,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+):
+    """W2 streaming analog: session windows per host with an inactivity gap —
+    the GTID-opens/XID-closes transaction bracketing restated as event-time
+    sessionization (SURVEY §2.7 W2 'streaming: session_window')."""
+    decoded = decode_pages(stream_df)
+    agg = (
+        decoded.withWatermark("warc_ts", watermark)
+        .groupBy(F.session_window("warc_ts", gap).alias("sw"), F.col("host"))
+        .agg(F.count("*").alias("n_events"), F.sum("raw_len").alias("bytes"))
+        .select(
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "host",
+            "n_events",
+            "bytes",
+        )
+    )
+    return (
+        agg.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .format("parquet")
+        .option("path", f"{sink_dir}/host_sessions")
+        .start()
+    )
