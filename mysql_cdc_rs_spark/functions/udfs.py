@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import (
     IntegerType,
+    MapType,
     StringType,
     StructField,
     StructType,
@@ -41,6 +42,9 @@ DECODED_FIELDS = [
     ("event_type", StringType()),
     ("route", StringType()),
     ("error", StringType()),
+    # full header map (status-vars analog, P6); downstream stages that don't
+    # select it get it pruned by Catalyst for free
+    ("headers", MapType(StringType(), StringType())),
 ]
 DECODED_SCHEMA = StructType([StructField(n, t, True) for n, t in DECODED_FIELDS])
 _COLS = [n for n, _ in DECODED_FIELDS]

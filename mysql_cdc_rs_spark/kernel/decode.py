@@ -75,6 +75,10 @@ def decode_page(raw: bytes | None) -> dict[str, Any]:
         "event_type": "error_frame",
         "route": "errors",
         "error": None,
+        # full header map — the status-variable TLV analog (P6): every
+        # key:value from the record header as a typed map column
+        # (query_event.rs status vars -> MapType, SURVEY §2.2)
+        "headers": None,
     }
     if raw is None:
         out["error"] = "NULL_PAYLOAD"
@@ -89,6 +93,9 @@ def decode_page(raw: bytes | None) -> dict[str, Any]:
     mime = rec.mime  # computed once; property does bytes work per call
     out["mime"] = mime
     out["header_len"] = rec.header_len
+    out["headers"] = {
+        k: v.decode("ascii", "replace") for k, v in rec.headers.items()
+    }
     enc = rec.headers.get("content-encoding")
     out["content_encoding"] = (
         enc.decode("ascii", "replace").lower() if enc else "identity"

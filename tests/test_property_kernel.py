@@ -1,0 +1,145 @@
+"""Property-based tests (hypothesis) for the wire-format codecs.
+
+The reference has no property tests (SURVEY §5 point 6); these go beyond its
+golden-fixture strategy: every encoder/decoder pair must round-trip for ALL
+inputs in its domain, and decoders must never raise on arbitrary bytes
+(skip-don't-crash contract)."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from mysql_cdc_rs_spark.kernel import jsonb, mysql_decimal, temporal, varint
+from mysql_cdc_rs_spark.kernel.decode import decode_page
+from mysql_cdc_rs_spark.sources.framing import pack_records, split_records
+
+# --- length-encoded ints ------------------------------------------------------
+
+@given(st.integers(min_value=0, max_value=2**64 - 1))
+def test_len_enc_int_domain(n):
+    """Decode every canonical encoding width correctly."""
+    if n < 0xFB:
+        buf = bytes([n])
+    elif n < 2**16:
+        buf = b"\xfc" + n.to_bytes(2, "little")
+    elif n < 2**24:
+        buf = b"\xfd" + n.to_bytes(3, "little")
+    else:
+        buf = b"\xfe" + n.to_bytes(8, "little")
+    v, pos = varint.read_len_enc_num(buf)
+    assert v == n and pos == len(buf)
+
+
+# --- packed decimal -----------------------------------------------------------
+
+@given(
+    st.integers(min_value=0, max_value=10**18 - 1),
+    st.integers(min_value=0, max_value=12),
+    st.booleans(),
+)
+@settings(max_examples=300)
+def test_decimal_roundtrip_property(digits, scale, negative):
+    precision = 20
+    intg = precision - scale
+    s = str(digits)
+    int_part = s[: max(len(s) - scale, 0)] or "0"
+    frac_part = s[max(len(s) - scale, 0) :].rjust(scale, "0")
+    if len(int_part) > intg:
+        int_part = int_part[-intg:]
+    value = int_part.lstrip("0") or "0"
+    if scale:
+        value += "." + frac_part
+    if negative and not (value == "0" or value.strip("0.") == ""):
+        value = "-" + value
+    enc = mysql_decimal.encode_decimal(value, precision, scale)
+    out, consumed = mysql_decimal.parse_decimal(enc, 0, precision, scale)
+    assert out == value
+    assert consumed == mysql_decimal.decimal_binary_size(precision, scale)
+
+
+# --- temporal packings --------------------------------------------------------
+
+@given(
+    st.integers(1, 9999), st.integers(1, 12), st.integers(1, 31),
+    st.integers(0, 23), st.integers(0, 59), st.integers(0, 59),
+)
+def test_datetime2_roundtrip_property(y, mo, d, h, mi, s):
+    ym = y * 13 + mo
+    packed = (1 << 39) | (ym << 22) | (d << 17) | (h << 12) | (mi << 6) | s
+    got, _ = temporal.parse_datetime2(packed.to_bytes(5, "big"), 0, 0)
+    assert got == (y, mo, d, h, mi, s, 0)
+
+
+@given(st.integers(0, 2**32 - 1), st.integers(0, 6))
+def test_timestamp2_no_crash(secs, fsp):
+    nfrac = (fsp + 1) // 2
+    buf = secs.to_bytes(4, "big") + b"\x00" * nfrac
+    micros, pos = temporal.parse_timestamp2(buf, 0, fsp)
+    assert micros == secs * 1_000_000 and pos == 4 + nfrac
+
+
+# --- JSONB ---------------------------------------------------------------------
+
+_json_scalars = st.one_of(
+    st.none(),
+    st.booleans(),
+    st.integers(min_value=-(2**62), max_value=2**62),
+    st.floats(allow_nan=False, allow_infinity=False, width=64),
+    st.text(max_size=40),
+)
+_json_values = st.recursive(
+    _json_scalars,
+    lambda children: st.one_of(
+        st.lists(children, max_size=6),
+        st.dictionaries(st.text(min_size=0, max_size=12), children, max_size=6),
+    ),
+    max_leaves=25,
+)
+
+
+@given(_json_values)
+@settings(max_examples=200)
+def test_jsonb_roundtrip_property(value):
+    assert jsonb.parse_jsonb(jsonb.encode_jsonb(value)) == value
+
+
+@given(st.binary(max_size=200))
+def test_jsonb_never_hangs_on_garbage(buf):
+    """Arbitrary bytes: decode either returns something or raises ValueError/
+    IndexError/KeyError/struct.error — never hangs, never exits python."""
+    try:
+        jsonb.parse_jsonb(buf)
+    except Exception:
+        pass
+
+
+# --- page decode / framing: total functions over arbitrary bytes --------------
+
+@given(st.binary(max_size=500))
+@settings(max_examples=300)
+def test_decode_page_total(raw):
+    d = decode_page(raw)
+    assert d["event_type"] is not None and d["route"] is not None
+
+
+@given(st.lists(st.binary(max_size=60), max_size=5))
+def test_framing_roundtrip_property(bodies):
+    recs = [
+        (
+            f"HTTP/1.1 200 OK\r\nContent-Length: {len(b)}\r\n\r\n"
+        ).encode() + b
+        for b in bodies
+    ]
+    out, err = split_records(pack_records(recs))
+    assert err is None and out == recs
+
+
+@given(st.binary(max_size=300))
+def test_framing_total(blob):
+    records, err = split_records(blob)
+    # reassembled good prefix must be a prefix of the input
+    prefix = pack_records(records)
+    assert blob.startswith(prefix)
+    if len(prefix) < len(blob):
+        assert err is not None
