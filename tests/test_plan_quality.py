@@ -56,3 +56,37 @@ def test_ann_corpus_not_shuffled(spark):
 
     plan = _formatted(spark, QUERIES["ann_brute_force_topk"](spark, SF))
     assert "BroadcastNestedLoop" in plan or "BroadcastHashJoin" in plan
+
+
+def test_bucketed_join_no_shuffle(spark, tmp_path_factory):
+    """J5/O10: same-bucketed tables join with ZERO exchange in the plan."""
+    from pyspark.sql import functions as F
+
+    from mysql_cdc_rs_spark.operators.bucketing import (
+        colocated_join,
+        write_bucketed,
+    )
+    from mysql_cdc_rs_spark.sources.testdata import load
+
+    import shutil
+
+    li = load(spark, SF, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    orders = load(spark, SF, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    for t in ("b_lineitem", "b_orders"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
+    write_bucketed(li, "b_lineitem", ["l_orderkey"], 8)
+    write_bucketed(orders, "b_orders", ["l_orderkey"], 8)
+    joined = colocated_join(spark, "b_lineitem", "b_orders", ["l_orderkey"])
+    plan = _formatted(spark, joined)
+    assert "Exchange" not in plan, plan[:2000]
+    assert "SortMergeJoin" in plan
+    # correctness: same count as the plain (shuffling) join
+    plain = li.join(orders, "l_orderkey").count()
+    assert joined.count() == plain
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
