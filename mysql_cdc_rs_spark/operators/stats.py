@@ -122,3 +122,37 @@ def throughput_report(n_rows: int, total_bytes: int, elapsed_s: float) -> dict:
         "rows_per_s": round(n_rows / elapsed_s, 1) if elapsed_s else None,
         "mb_per_s": round(total_bytes / 1e6 / elapsed_s, 2) if elapsed_s else None,
     }
+
+
+def host_stats_salted(decoded: DataFrame, salt_buckets: int = 8) -> DataFrame:
+    """Per-host stats with two-phase salted aggregation (SURVEY §4 item 2).
+
+    host is the pipeline's genuinely skewed high-cardinality key (~30% of
+    rows land on hot.<tld> hosts by construction): phase 1 aggregates on
+    (host, salt) so a hot host's rows spread over `salt_buckets` reducers,
+    phase 2 merges the partials per host.  Exactly equal to the direct
+    groupBy (verified by skew_salted_agg's oracle pattern) while bounding
+    the largest reduce task at 1/salt_buckets of the hot key.
+    """
+    from pyspark.sql import functions as F
+
+    salted = decoded.select(
+        "host",
+        F.pmod(F.xxhash64("url"), F.lit(salt_buckets)).alias("salt"),
+        F.coalesce(F.col("raw_len"), F.lit(0)).alias("raw_len"),
+        F.when(F.col("error").isNotNull(), 1).otherwise(0).alias("is_err"),
+    )
+    partial = salted.groupBy("host", "salt").agg(
+        F.count("*").alias("pn"),
+        F.sum("raw_len").alias("pb"),
+        F.sum("is_err").alias("pe"),
+    )
+    return (
+        partial.groupBy("host")
+        .agg(
+            F.sum("pn").alias("n_pages"),
+            F.sum("pb").alias("total_bytes"),
+            F.sum("pe").alias("n_errors"),
+        )
+        .orderBy(F.col("n_pages").desc(), F.col("host"))
+    )

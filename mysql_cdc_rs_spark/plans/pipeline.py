@@ -92,6 +92,10 @@ def run_pipeline(
             ).collect()
         ]
         metrics["errors"] = [r.asDict() for r in S.error_stats(decoded_cols).collect()]
+        metrics["top_hosts"] = [
+            r.asDict()
+            for r in S.host_stats_salted(decoded_cols).limit(20).collect()
+        ]
         catalog.write_manifest("metrics", _json_safe(metrics))
 
     return PipelineResult(

@@ -74,9 +74,14 @@ def make_page(doc_id: int, text: str, lang: str, source: str):
         return head.encode("ascii") + body
 
     if h < 70:  # html / gzip_html
+        # Escape HTML-active chars so arbitrary document text round-trips
+        # byte-identically: the kernel's entity pass inverts exactly this
+        # mapping (property-tested over all printable-ASCII inputs; a raw
+        # '<' would otherwise be stripped as a tag).
+        esc = norm.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
         body_s = (
             f'<html lang="{lang}"><head><title>D{doc_id}</title></head>'
-            f"<body><p>{norm}</p></body></html>"
+            f"<body><p>{esc}</p></body></html>"
         )
         body = body_s.encode(_CODEC[cs], errors="replace")
         headers = [f"Content-Type: text/html; charset={cs}",

@@ -123,3 +123,24 @@ def test_stats_consistency(decoded):
 def test_charset_variety(decoded):
     cs = {r["charset"] for r in S.charset_stats(decoded).collect()}
     assert {"utf-8", "latin-1", "gbk"} <= cs
+
+
+def test_salted_host_stats_equal_direct(decoded):
+    """Two-phase salted host aggregation == direct groupBy, exactly."""
+    got = {
+        r["host"]: (r["n_pages"], r["total_bytes"])
+        for r in S.host_stats_salted(decoded).collect()
+    }
+    direct = {
+        r["host"]: (r["n"], r["b"])
+        for r in decoded.groupBy("host")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.coalesce(F.col("raw_len"), F.lit(0))).alias("b"),
+        )
+        .collect()
+    }
+    assert got == direct
+    # the hot hosts really are hot (skew exists to be handled)
+    hot = [h for h in got if h.startswith("hot.")]
+    assert sum(got[h][0] for h in hot) > 0.2 * N

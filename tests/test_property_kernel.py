@@ -143,3 +143,38 @@ def test_framing_total(blob):
     assert blob.startswith(prefix)
     if len(prefix) < len(blob):
         assert err is not None
+
+
+# --- the SQL oracle's text formula is exactly the kernel's output -------------
+
+from hypothesis import strategies as _st
+
+from mysql_cdc_rs_spark.sources.pages_from_documents import make_page, md5_60
+
+
+@given(
+    st.integers(min_value=0, max_value=10**9),
+    st.text(
+        alphabet=_st.characters(min_codepoint=32, max_codepoint=126),
+        min_size=1,
+        max_size=200,
+    ),
+)
+@settings(max_examples=200)
+def test_pages_from_documents_text_formula(doc_id, text):
+    """For every ASCII doc text, decoding the generated html yields exactly
+    the string the DuckDB oracle constructs ('D{id} {norm}' / norm / None),
+    for all class/charset combinations the hash picks."""
+    url, ts, raw, expected, lang = make_page(doc_id, text, "en", "src0")
+    d = decode_page(raw)
+    assert d["text"] == expected
+    h = md5_60(f"cls:{doc_id}") % 100
+    norm = " ".join(text.split())
+    if h < 70:
+        assert expected == (f"D{doc_id} {norm}" if norm else f"D{doc_id}")
+    elif h < 80:
+        assert expected == norm
+    elif h < 90:
+        assert expected == f"https://moved.example/{doc_id}"
+    else:
+        assert expected is None
