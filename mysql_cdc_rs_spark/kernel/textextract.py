@@ -24,6 +24,10 @@ _MARKUP_RE = re.compile(
 )
 _WS_RE = re.compile(r"\s+")
 
+# NOTE: merging the entity pass into the markup pass was tried and reverted:
+# it forces a Python callback per MARKUP match too, losing more than the
+# saved traversal gains (plain-string sub runs on the C fast path).
+
 # Fixed entity table — deliberately small and explicit so the mapping is
 # stable forever (html.unescape's table grows across Python versions).
 _ENTITIES = {
