@@ -1,0 +1,78 @@
+"""Training-data curation pipeline: the composition showcase.
+
+decode -> text-quality filter -> near-duplicate removal (minhash-LSH) ->
+surviving corpus.  This is what the engine is FOR at 100 TB: every stage is
+one of the already-tested operators, chained without any driver-side
+materialization:
+
+    pages (binary html)
+      -> decode_pages            (vectorized UDF, one pass)
+      -> keep text-bearing docs  (event_type html/plain)
+      -> quality gate            (token count >= min_tokens, JVM-side)
+      -> LSH near-dup pairs      (shingle -> minhash -> band bucket join)
+      -> drop the higher doc of every candidate pair (keep-first)
+      -> survivors
+
+Scale shape: the only shuffles are the dedup groupBys (doc_id, bucket) —
+the quality gate and decode are shuffle-free; candidate-pair generation is
+bucket-local (no O(n^2)); the drop set is tiny relative to the corpus and
+is applied with a broadcastable left-anti join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from mysql_cdc_rs_spark.functions.text import words_of
+from mysql_cdc_rs_spark.operators import dedup as DD
+from mysql_cdc_rs_spark.operators.decode import decode_pages
+
+DEFAULT_MIN_TOKENS = 20
+
+
+def curate(
+    pages: DataFrame,
+    doc_id_expr=None,
+    min_tokens: int = DEFAULT_MIN_TOKENS,
+) -> DataFrame:
+    """pages -> surviving (doc_id, text) corpus.
+
+    doc_id_expr: Column producing a unique numeric doc id (defaults to
+    extracting the trailing integer of the url, which both generators emit).
+    """
+    decoded = decode_pages(pages)
+    if doc_id_expr is None:
+        doc_id_expr = F.regexp_extract("url", r"/(\d+)$", 1).cast("long")
+
+    textful = decoded.filter(
+        F.col("event_type").isin("html", "plain")
+    ).select(doc_id_expr.alias("doc_id"), "text")
+
+    quality = textful.filter(F.size(words_of(F.col("text"))) >= min_tokens)
+
+    pairs = DD.lsh_candidate_pairs(quality)
+    # keep-first policy: any doc that is the HIGHER member of a candidate
+    # pair is a near-duplicate of an earlier doc -> dropped
+    drops = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    return quality.join(broadcast(drops), "doc_id", "left_anti")
+
+
+def curation_report(pages: DataFrame, min_tokens: int = DEFAULT_MIN_TOKENS) -> dict:
+    """Stage-by-stage exact counts (the per-sink metrics analog)."""
+    decoded = decode_pages(pages).cache()
+    doc_id = F.regexp_extract("url", r"/(\d+)$", 1).cast("long")
+    textful = decoded.filter(F.col("event_type").isin("html", "plain")).select(
+        doc_id.alias("doc_id"), "text"
+    )
+    quality = textful.filter(F.size(words_of(F.col("text"))) >= min_tokens)
+    survivors = curate(pages, min_tokens=min_tokens)
+    out = {
+        "input": decoded.count(),
+        "text_bearing": textful.count(),
+        "quality_pass": quality.count(),
+        "survivors": survivors.count(),
+    }
+    decoded.unpersist()
+    return out

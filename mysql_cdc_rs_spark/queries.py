@@ -1362,3 +1362,69 @@ def _d2(spark, sf):
         .select("event_id", "delta")
         .orderBy("event_id")
     )
+
+
+# --- training-data curation: the full composed pipeline with one oracle ----
+
+_CUR_TEXT = (
+    f"CASE WHEN ({CLS_SQL}) < 70 THEN 'D' || doc_id || ' ' || {NORM_TEXT_SQL} "
+    f"ELSE {NORM_TEXT_SQL} END"
+)
+_CUR_WORDS = "string_split(txt, ' ')"
+_CUR_SHINGLES = (
+    "list_transform(range(1, greatest(len(words) - 2, 0) + 1), "
+    "i -> words[i] || ' ' || words[i + 1] || ' ' || words[i + 2])"
+)
+_CUR_BANDS = " UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band_id, "
+    + " || '_' || ".join(
+        f"CAST(mh{b * (DD.MINHASH_K // DD.LSH_BANDS) + r} AS VARCHAR)"
+        for r in range(DD.MINHASH_K // DD.LSH_BANDS)
+    )
+    + " AS bucket FROM sig"
+    for b in range(DD.LSH_BANDS)
+)
+
+
+@q(
+    "training_curate_survivors",
+    f"""
+    WITH corpus AS (
+      SELECT doc_id, {_CUR_TEXT} AS txt FROM documents WHERE ({CLS_SQL}) < 80
+    ),
+    quality AS (
+      SELECT doc_id, txt, {_CUR_WORDS} AS words FROM corpus
+      WHERE len({_CUR_WORDS}) >= 20
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, s.shingle
+      FROM quality, unnest({_CUR_SHINGLES}) AS s(shingle)
+    ),
+    sig AS (
+      SELECT doc_id, {', '.join(_mh_sql(i) + f' AS mh{i}' for i in range(DD.MINHASH_K))}
+      FROM sh GROUP BY doc_id
+    ),
+    banded AS ({_CUR_BANDS}),
+    drops AS (
+      SELECT DISTINCT b.doc_id
+      FROM banded a JOIN banded b
+        ON a.band_id = b.band_id AND a.bucket = b.bucket
+      WHERE a.doc_id < b.doc_id
+    )
+    SELECT q.doc_id, md5(q.txt) AS text_md5
+    FROM quality q
+    WHERE q.doc_id NOT IN (SELECT doc_id FROM drops)
+    ORDER BY q.doc_id
+    """,
+)
+def _curate(spark, sf):
+    """The composed training-data pipeline (decode -> quality gate ->
+    LSH near-dup drop) against a single independent SQL oracle that
+    re-derives every stage from the documents table."""
+    from mysql_cdc_rs_spark.plans.training_pipeline import curate
+
+    pages = pages_from_documents(spark, sf)
+    survivors = curate(pages, min_tokens=20)
+    return survivors.select(
+        "doc_id", F.md5("text").alias("text_md5")
+    ).orderBy("doc_id")

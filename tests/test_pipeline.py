@@ -144,3 +144,17 @@ def test_salted_host_stats_equal_direct(decoded):
     # the hot hosts really are hot (skew exists to be handled)
     hot = [h for h in got if h.startswith("hot.")]
     assert sum(got[h][0] for h in hot) > 0.2 * N
+
+
+def test_training_curation_stages(spark):
+    """Composed curation pipeline: stage counts are monotone and exact."""
+    from mysql_cdc_rs_spark.plans.training_pipeline import curate, curation_report
+    from mysql_cdc_rs_spark.sources.pages_from_documents import pages_from_documents
+
+    pages = pages_from_documents(spark, "/root/testdata/sf0.001")
+    rep = curation_report(pages, min_tokens=20)
+    assert rep["input"] >= rep["text_bearing"] >= rep["quality_pass"] >= rep["survivors"]
+    assert rep["survivors"] > 0
+    # survivors are unique docs and all meet the quality bar
+    surv = curate(pages, min_tokens=20)
+    assert surv.count() == surv.select("doc_id").distinct().count() == rep["survivors"]
