@@ -45,9 +45,15 @@ def word_shingles(words_col: str, n: int = 3) -> Column:
     DuckDB oracle's 1-based list indexing.
     """
     elems = ", ".join(f"element_at({words_col}, i + {j})" for j in range(n))
+    # Guard the upper bound: for docs with < n words Spark's
+    # sequence(1, 0) yields DESCENDING [1, 0] and element_at(col, 0)
+    # throws INVALID_ARRAY_INDEX_IN_ELEMENT_AT.  Short docs must produce
+    # ZERO shingles, exactly like the DuckDB twin's range().
     return F.expr(
-        f"transform(sequence(1, greatest(size({words_col}) - {n - 1}, 0)), "
-        f"i -> concat_ws(' ', {elems}))"
+        f"CASE WHEN size({words_col}) >= {n} THEN "
+        f"transform(sequence(1, size({words_col}) - {n - 1}), "
+        f"i -> concat_ws(' ', {elems})) "
+        f"ELSE CAST(array() AS array<string>) END"
     )
 
 

@@ -122,8 +122,11 @@ def _parse_composite(buf: bytes, pos: int, is_object: bool, large: bool) -> Any:
         ):
             values.append(_parse_value(vtype, buf, p + 1))
         else:
+            # Non-inlined values: the entry stores (type, offset) and the
+            # offset points DIRECTLY at the payload — the type lives only in
+            # the value entry (json_binary.h layout; no duplicated type byte).
             off = struct.unpack_from(fmt, buf, p + 1)[0]
-            values.append(_parse_value(buf[base + off], buf, base + off + 1))
+            values.append(_parse_value(vtype, buf, base + off))
         p += 1 + w
 
     if is_object:
@@ -238,7 +241,7 @@ def _encode_composite(v: Any, is_object: bool) -> tuple[int, bytes]:
         else:
             off = data_base + len(val_blob)
             val_entries.append(bytes([t]) + struct.pack("<H", off))
-            val_blob += bytes([t]) + payload
+            val_blob += payload  # payload only — type lives in the entry
 
     total = data_base + len(val_blob)
     out = bytearray(struct.pack("<HH", count, total))

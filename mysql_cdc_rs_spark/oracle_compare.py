@@ -19,13 +19,16 @@ from mysql_cdc_rs_spark.sources.testdata import TABLES
 
 
 def _norm_cell(v):
+    # Representation-SENSITIVE on integer types: the driver's hash diverges
+    # when DuckDB returns HUGEINT/Decimal where Spark returns BIGINT, so a
+    # Decimal here is surfaced as-is (tagged) instead of being coerced to int.
+    # Oracles must CAST(sum(...) AS BIGINT) to match Spark's long aggregates.
     if v is None:
         return None
     if isinstance(v, (datetime.datetime, datetime.date)):
         return v.isoformat()
     if isinstance(v, decimal.Decimal):
-        f = float(v)
-        return int(v) if f.is_integer() else f
+        return ("decimal", str(v))
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"

@@ -93,10 +93,10 @@ def _q1(spark, sf):
 QUERIES["q1_pricing_summary"] = _q1
 ORACLES["q1_pricing_summary"] = f"""
 SELECT l_returnflag, l_linestatus,
-       sum({E('l_quantity', 2)}) AS sum_qty_e2,
-       sum({E('l_extendedprice', 2)}) AS sum_base_e2,
-       sum({E('l_extendedprice * (1 - l_discount)', 4)}) AS sum_disc_e4,
-       sum({E('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 4)}) AS sum_charge_e4,
+       CAST(sum({E('l_quantity', 2)}) AS BIGINT) AS sum_qty_e2,
+       CAST(sum({E('l_extendedprice', 2)}) AS BIGINT) AS sum_base_e2,
+       CAST(sum({E('l_extendedprice * (1 - l_discount)', 4)}) AS BIGINT) AS sum_disc_e4,
+       CAST(sum({E('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 4)}) AS BIGINT) AS sum_charge_e4,
        count(*) AS count_order,
        CAST(floor(sum({E('l_quantity', 2)}) / count(*)) AS BIGINT) AS avg_qty_e2
 FROM lineitem
@@ -110,7 +110,7 @@ ORDER BY l_returnflag, l_linestatus
     "q3_top_revenue_orders",
     f"""
     SELECT l_orderkey,
-           sum({E('l_extendedprice * (1 - l_discount)', 4)}) AS revenue_e4,
+           CAST(sum({E('l_extendedprice * (1 - l_discount)', 4)}) AS BIGINT) AS revenue_e4,
            o_orderpriority
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
@@ -143,7 +143,7 @@ def _q3(spark, sf):
     "q5_nation_revenue",
     f"""
     SELECT n_name,
-           sum({E('l_extendedprice * (1 - l_discount)', 4)}) AS revenue_e4,
+           CAST(sum({E('l_extendedprice * (1 - l_discount)', 4)}) AS BIGINT) AS revenue_e4,
            count(*) AS n_items
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
@@ -185,8 +185,8 @@ def _q5(spark, sf):
     f"""
     SELECT p_brand,
            count(*) AS n_items,
-           sum({E('l_quantity', 2)}) AS sum_qty_e2,
-           sum({E('l_extendedprice * (1 - l_discount)', 4)}) AS revenue_e4
+           CAST(sum({E('l_quantity', 2)}) AS BIGINT) AS sum_qty_e2,
+           CAST(sum({E('l_extendedprice * (1 - l_discount)', 4)}) AS BIGINT) AS revenue_e4
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE p_size <= 25
     GROUP BY p_brand
@@ -269,10 +269,10 @@ def _s6(spark, sf):
     f"""
     SELECT event_type,
            count(*) AS n_events,
-           sum({E('value', 2)}) AS sum_value_e2,
+           CAST(sum({E('value', 2)}) AS BIGINT) AS sum_value_e2,
            min(value) AS min_value, max(value) AS max_value,
            CAST(floor(sum({E('value', 2)}) / count(*)) AS BIGINT) AS avg_value_e2,
-           sum(length(props)) AS total_props_bytes,
+           CAST(sum(length(props)) AS BIGINT) AS total_props_bytes,
            min(ts) AS first_seen, max(ts) AS last_seen
     FROM events GROUP BY event_type ORDER BY event_type
     """,
@@ -300,7 +300,8 @@ def _a1(spark, sf):
 @q(
     "a2_rollup_stats",
     f"""
-    SELECT event_type, count(*) AS n_events, sum({E('value', 2)}) AS sum_value_e2
+    SELECT event_type, count(*) AS n_events,
+           CAST(sum({E('value', 2)}) AS BIGINT) AS sum_value_e2
     FROM events GROUP BY ROLLUP (event_type)
     ORDER BY event_type ASC NULLS FIRST
     """,
@@ -388,12 +389,12 @@ def _w1(spark, sf):
     f"""
     WITH s AS (
       SELECT user_id, value,
-             sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
-               OVER (PARTITION BY user_id {_W_ORDER}) AS session_id
+             CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id {_W_ORDER}) AS BIGINT) AS session_id
       FROM events
     )
     SELECT user_id, session_id, count(*) AS n_events,
-           sum({E('value', 2)}) AS sum_value_e2
+           CAST(sum({E('value', 2)}) AS BIGINT) AS sum_value_e2
     FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id
     """,
 )
@@ -512,8 +513,8 @@ def _d1(spark, sf):
       FROM orders
     )
     SELECT count(*) AS n_rows,
-           sum(CASE WHEN make_date(v >> 9, (v >> 5) & 15, v & 31) = expected
-                    THEN 1 ELSE 0 END) AS n_ok,
+           CAST(sum(CASE WHEN make_date(v >> 9, (v >> 5) & 15, v & 31) = expected
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_ok,
            min(make_date(v >> 9, (v >> 5) & 15, v & 31)) AS min_date,
            max(make_date(v >> 9, (v >> 5) & 15, v & 31)) AS max_date
     FROM packed
@@ -549,14 +550,14 @@ def _c7(spark, sf):
       FROM events
     )
     SELECT count(*) AS n_rows,
-           sum(CASE WHEN make_timestamp(
+           CAST(sum(CASE WHEN make_timestamp(
                  CAST(v // 10000000000 AS INT),
                  CAST((v // 100000000) % 100 AS INT),
                  CAST((v // 1000000) % 100 AS INT),
                  CAST((v // 10000) % 100 AS INT),
                  CAST((v // 100) % 100 AS INT),
                  CAST(v % 100 AS DOUBLE)) = expected
-               THEN 1 ELSE 0 END) AS n_ok
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_ok
     FROM packed
     """,
 )
@@ -990,7 +991,9 @@ def _p_counts(spark, sf):
     f"""
     SELECT doc_id,
            CASE WHEN ({CLS_SQL}) < 70
-                  THEN md5('D' || doc_id || ' ' || {NORM_TEXT_SQL})
+                  THEN md5(CASE WHEN {NORM_TEXT_SQL} = ''
+                                THEN 'D' || doc_id
+                                ELSE 'D' || doc_id || ' ' || {NORM_TEXT_SQL} END)
                 WHEN ({CLS_SQL}) < 80 THEN md5({NORM_TEXT_SQL})
            END AS text_md5
     FROM documents
@@ -1163,7 +1166,7 @@ def _ann_ivf(spark, sf):
     "skew_salted_agg",
     f"""
     SELECT user_id % 10 AS hot_key, count(*) AS n,
-           sum({E('value', 2)}) AS sum_value_e2
+           CAST(sum({E('value', 2)}) AS BIGINT) AS sum_value_e2
     FROM events GROUP BY 1 ORDER BY 1
     """,
 )
@@ -1367,7 +1370,9 @@ def _d2(spark, sf):
 # --- training-data curation: the full composed pipeline with one oracle ----
 
 _CUR_TEXT = (
-    f"CASE WHEN ({CLS_SQL}) < 70 THEN 'D' || doc_id || ' ' || {NORM_TEXT_SQL} "
+    f"CASE WHEN ({CLS_SQL}) < 70 THEN "
+    f"(CASE WHEN {NORM_TEXT_SQL} = '' THEN 'D' || doc_id "
+    f"ELSE 'D' || doc_id || ' ' || {NORM_TEXT_SQL} END) "
     f"ELSE {NORM_TEXT_SQL} END"
 )
 _CUR_WORDS = "string_split(txt, ' ')"

@@ -51,7 +51,12 @@ class SinkCatalog:
             writer = df.writeTo(f"sink.{table}")
             if partition_by:
                 writer = writer.partitionedBy(*partition_by)
-            writer.createOrReplace()
+            # append semantics: createOrReplace would DROP prior appends.
+            # Only create the table on first write.
+            if self.spark.catalog.tableExists(f"sink.{table}"):
+                writer.append()
+            else:
+                writer.create()
             return
         w = df.write.mode("append")
         if partition_by:

@@ -90,7 +90,10 @@ def make_page(doc_id: int, text: str, lang: str, source: str):
             body = gzip.compress(body, mtime=0)
             headers.append("Content-Encoding: gzip")
         raw = http("200 OK", headers, body)
-        expected = f"D{doc_id} {norm}"
+        # Whitespace-only text normalizes to '' — the decoder collapses
+        # whitespace, so the extracted text is just the title with NO
+        # trailing space (byte-identity invariant; hypothesis-found case).
+        expected = f"D{doc_id} {norm}" if norm else f"D{doc_id}"
     elif h < 80:  # plain
         body = norm.encode("utf-8")
         raw = http("200 OK",

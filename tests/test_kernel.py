@@ -161,3 +161,30 @@ def test_jsonb_roundtrip_and_paths():
     assert jsonb.parse_jsonb(b"") is None
     # canonical form is key-sorted and compact
     assert jsonb.canonical_json({"b": 1, "a": 2}) == '{"a":2,"b":1}'
+
+
+def test_jsonb_golden_fixtures_documented_layout():
+    """Byte-exact fixtures hand-computed from the documented json_binary.h
+    layout (small object/array; offsets point DIRECTLY at payloads — the
+    value type lives only in the value entry, never duplicated at the
+    target).  Guards against the encoder/decoder agreeing on a private
+    dialect that real MySQL JSONB would misparse.
+    """
+    # {"a": 2}: type=0x00 | count=1 size=12 | key entry off=11 len=1
+    #           | value entry: inline int16 05 02 00 | key blob 'a'
+    gold_inline = bytes.fromhex("000100 0c00 0b00 0100 050200 61".replace(" ", ""))
+    assert jsonb.parse_jsonb(gold_inline) == {"a": 2}
+    assert jsonb.encode_jsonb({"a": 2}) == gold_inline
+
+    # {"a": "xyz"}: non-inlined string; value entry (0x0c, off=12) points at
+    # the varlen+bytes payload directly (NO leading type byte in the blob).
+    gold_str = bytes.fromhex(
+        "000100 1000 0b00 0100 0c0c00 61 03 78797a".replace(" ", "")
+    )
+    assert jsonb.parse_jsonb(gold_str) == {"a": "xyz"}
+    assert jsonb.encode_jsonb({"a": "xyz"}) == gold_str
+
+    # [1, "ab"]: small array, inline int16 + offset string.
+    gold_arr = bytes.fromhex("020200 0d00 050100 0c0a00 02 6162".replace(" ", ""))
+    assert jsonb.parse_jsonb(gold_arr) == [1, "ab"]
+    assert jsonb.encode_jsonb([1, "ab"]) == gold_arr

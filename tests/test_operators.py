@@ -145,6 +145,29 @@ def test_minhash_detects_near_dup(spark):
     assert jac[(1, 2)] > 0.5
 
 
+def test_short_docs_yield_zero_shingles_not_crash(spark):
+    # Docs with < n words must produce ZERO shingles (like the DuckDB twin's
+    # range()) — sequence(1, 0) in Spark is DESCENDING and element_at(col, 0)
+    # would throw INVALID_ARRAY_INDEX_IN_ELEMENT_AT without the guard.
+    from mysql_cdc_rs_spark.operators import dedup as DD
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "one"), (3, "two words"), (4, "three word doc"),
+         (5, "   "), (6, "a much longer document with plenty of words here")],
+        "doc_id long, text string",
+    )
+    sh = DD.shingled(docs)
+    per_doc = {r["doc_id"]: r["n"] for r in
+               sh.groupBy("doc_id").agg(F.count("*").alias("n")).collect()}
+    assert 1 not in per_doc and 2 not in per_doc and 3 not in per_doc
+    assert 5 not in per_doc
+    assert per_doc[4] == 1
+    assert per_doc[6] >= 5
+    # downstream sketches must also survive short docs
+    DD.lsh_candidate_pairs(docs).collect()
+    DD.ngram_jaccard_pairs(docs).collect()
+
+
 def test_simhash_similar_docs_close(spark):
     from mysql_cdc_rs_spark.operators import dedup as DD
 
