@@ -88,3 +88,47 @@ def encode_point(x: float, y: float, srid: int = 0) -> bytes:
         + struct.pack("<I", 1)
         + struct.pack("<dd", x, y)
     )
+
+
+_TYPE_CODES = {v: k for k, v in TYPE_NAMES.items()}
+
+
+def encode_geometry(geom: dict) -> bytes:
+    """MySQL geometry cell (SRID u32 LE + little-endian WKB) — inverse of
+    parse_mysql_geometry for every supported shape, so round-trip fixtures
+    cover the full type set the reference enumerates
+    (/root/reference/binlog/src/column/decoders/geometry.rs:18-160)."""
+    srid = int(geom.get("srid", 0))
+    return srid.to_bytes(4, "little") + _encode_wkb(geom)
+
+
+def _encode_wkb(geom: dict) -> bytes:
+    name = geom["type"]
+    out = b"\x01" + struct.pack("<I", _TYPE_CODES[name])
+
+    def pt(c):
+        return struct.pack("<dd", float(c[0]), float(c[1]))
+
+    def ring(r):
+        return struct.pack("<I", len(r)) + b"".join(pt(c) for c in r)
+
+    if name == "Point":
+        return out + pt(geom["coordinates"])
+    if name == "LineString":
+        return out + ring(geom["coordinates"])
+    if name == "Polygon":
+        rings = geom["coordinates"]
+        return out + struct.pack("<I", len(rings)) + b"".join(
+            ring(r) for r in rings
+        )
+    if name == "GeometryCollection":
+        children = geom["geometries"]
+        return out + struct.pack("<I", len(children)) + b"".join(
+            _encode_wkb(c) for c in children
+        )
+    # Multi*: children are full WKB geometries of the element type
+    child_type = name[len("Multi"):]
+    return out + struct.pack("<I", len(geom["coordinates"])) + b"".join(
+        _encode_wkb({"type": child_type, "coordinates": c})
+        for c in geom["coordinates"]
+    )

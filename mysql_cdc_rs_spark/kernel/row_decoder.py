@@ -194,6 +194,42 @@ def encode_row(
         elif t == T_DATE:
             y, mo, d = v
             body += ((y << 9) | (mo << 5) | d).to_bytes(3, "little")
+        elif t == T_TIME2:
+            h, mi, s, micros = v
+            body += ((1 << 23) | (h << 12) | (mi << 6) | s).to_bytes(3, "big")
+            body += _encode_fractional(micros, meta)
+        elif t == T_DATETIME2:
+            y, mo, d, h, mi, s, micros = v
+            packed = (
+                ((y * 13 + mo) << 22) | (d << 17) | (h << 12) | (mi << 6) | s
+            )
+            body += (packed | (1 << 39)).to_bytes(5, "big")  # sign bit set
+            body += _encode_fractional(micros, meta)
+        elif t == T_TIMESTAMP2:
+            secs, micros = divmod(int(v), 1_000_000)
+            body += secs.to_bytes(4, "big") + _encode_fractional(micros, meta)
+        elif t == T_STRING:
+            real_t, length = varint.actual_string_type(meta >> 8, meta & 0xFF)
+            if real_t == T_ENUM:
+                w = 1 if length < 256 else 2
+                body += int(v).to_bytes(w, "little")
+            elif real_t == T_SET:
+                body += int(v).to_bytes(length, "little")
+            else:
+                raw = v.encode(charset)
+                body += len(raw).to_bytes(
+                    1 if length < 256 else 2, "little"
+                ) + raw
         else:
             raise ValueError(f"encode_row: unsupported type {t}")
     return bytes(bitmap) + bytes(body)
+
+
+def _encode_fractional(micros: int, fsp: int) -> bytes:
+    """Inverse of temporal.parse_fractional: (fsp+1)//2 bytes big-endian in
+    units of 100^(3-nbytes) — sub-unit precision is truncated, exactly as
+    MySQL stores it."""
+    nbytes = (fsp + 1) // 2
+    if nbytes == 0:
+        return b""
+    return (int(micros) // (100 ** (3 - nbytes))).to_bytes(nbytes, "big")

@@ -1275,6 +1275,353 @@ def _c13(spark, sf):
 
 
 @q(
+    "c8_time2_roundtrip",
+    """
+    SELECT event_id,
+           ((event_id % 24) * 3600 + ((event_id * 7) % 60) * 60
+            + (event_id * 13) % 60) * 1000000
+           + (event_id % 10000) * 100 AS time_micros
+    FROM events WHERE event_id < 4000 ORDER BY event_id
+    """,
+)
+def _c8(spark, sf):
+    """C8+C11: TIME2 wire round-trip with fsp=4 fractional — each value is
+    bit-packed to the 3-byte big-endian layout + 2 fractional bytes,
+    decoded back by the kernel, and compared against a pure-arithmetic
+    oracle (parity: /root/reference/binlog/src/utils.rs:351-399,462-470)."""
+    import pandas as pd
+
+    from mysql_cdc_rs_spark.kernel.row_decoder import (
+        T_TIME2,
+        decode_row,
+        encode_row,
+    )
+
+    ev = load(spark, sf, "events").filter(F.col("event_id") < 4000).select(
+        "event_id"
+    )
+
+    def rt(batches):
+        types, meta = [T_TIME2], [4]  # fsp=4 -> 2 frac bytes, 100us units
+        for pdf in batches:
+            out = []
+            for eid in pdf["event_id"]:
+                eid = int(eid)
+                cell = (eid % 24, (eid * 7) % 60, (eid * 13) % 60,
+                        (eid % 10000) * 100)
+                cells, _ = decode_row(encode_row([cell], types, meta),
+                                      types, meta)
+                h, m, s, us = cells[0]
+                out.append((eid, (h * 3600 + m * 60 + s) * 1_000_000 + us))
+            yield pd.DataFrame(out, columns=["event_id", "time_micros"])
+
+    return ev.mapInPandas(
+        rt, schema="event_id long, time_micros long"
+    ).orderBy("event_id")
+
+
+@q(
+    "c10_timestamp2_roundtrip",
+    """
+    SELECT event_id,
+           CASE WHEN event_id % 2 = 0 THEN epoch_us(ts) // 10000 * 10000
+                ELSE epoch_us(ts) END AS epoch_micros_rt
+    FROM events WHERE event_id < 4000 ORDER BY event_id
+    """,
+)
+def _c10(spark, sf):
+    """C10+C11: TIMESTAMP2 wire round-trip alternating fsp=2 / fsp=6 —
+    4-byte big-endian epoch seconds + fractional bytes whose precision the
+    encoder truncates exactly as MySQL stores it (parity:
+    /root/reference/binlog/src/utils.rs:450-470).  fsp=2 keeps 10ms units,
+    so the oracle truncates epoch micros the same way."""
+    import pandas as pd
+
+    from mysql_cdc_rs_spark.kernel.row_decoder import (
+        T_TIMESTAMP2,
+        decode_row,
+        encode_row,
+    )
+
+    ev = (
+        load(spark, sf, "events")
+        .filter(F.col("event_id") < 4000)
+        .select(
+            "event_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        )
+    )
+
+    def rt(batches):
+        for pdf in batches:
+            out = []
+            for eid, us in zip(pdf["event_id"], pdf["us"]):
+                eid, us = int(eid), int(us)
+                fsp = 2 if eid % 2 == 0 else 6
+                cells, _ = decode_row(
+                    encode_row([us], [T_TIMESTAMP2], [fsp]),
+                    [T_TIMESTAMP2], [fsp],
+                )
+                out.append((eid, cells[0]))
+            yield pd.DataFrame(out, columns=["event_id", "epoch_micros_rt"])
+
+    return ev.mapInPandas(
+        rt, schema="event_id long, epoch_micros_rt long"
+    ).orderBy("event_id")
+
+
+_ENUM_LABELS = ["click", "error", "purchase", "signup", "view"]
+_ENUM_ORD_SQL = (
+    "CASE event_type WHEN 'click' THEN 1 WHEN 'error' THEN 2 "
+    "WHEN 'purchase' THEN 3 WHEN 'signup' THEN 4 ELSE 5 END"
+)
+
+
+@q(
+    "p3_row_decode",
+    f"""
+    WITH v AS (
+      SELECT *, CAST(floor(value * 100 + 0.5) AS BIGINT) AS e2
+      FROM events WHERE event_id < 5000
+    )
+    SELECT event_id,
+           CAST(CASE WHEN event_id % 7 = 0 THEN NULL
+                     ELSE {_ENUM_ORD_SQL} END AS INT) AS etype_ord,
+           CAST(e2 // 100 AS VARCHAR) || '.' ||
+             lpad(CAST(e2 % 100 AS VARCHAR), 2, '0') AS value_str,
+           strftime(ts, '%Y-%m-%d') AS d,
+           CAST(year(ts) AS INT) AS yr,
+           CAST(event_id % 8 AS INT) AS set_mask,
+           props AS props_rt
+    FROM v ORDER BY event_id
+    """,
+)
+def _p3(spark, sf):
+    """P3/C18/C19/F2: the typed ROW decoder end-to-end — every event row is
+    encoded to the binlog row-image wire format (null bitmap + per-column
+    cells: LONGLONG, ENUM-via-STRING, NEWDECIMAL, DATE, YEAR, SET, VARCHAR)
+    on executors and decoded back by the same kernel the pipeline UDFs use
+    (parity: /root/reference/binlog/src/row/parser.rs:236-283, decode
+    dispatch column_parser.rs:159-191).  The null bitmap is exercised by the
+    every-7th-row NULL enum cell."""
+    import pandas as pd
+
+    from mysql_cdc_rs_spark.kernel import row_decoder as RD
+
+    types = [RD.T_LONGLONG, RD.T_STRING, RD.T_NEWDECIMAL, RD.T_DATE,
+             RD.T_YEAR, RD.T_STRING, RD.T_VARCHAR]
+    meta = [0, (RD.T_ENUM << 8) | 5, (14 << 8) | 2, 0, 0,
+            (RD.T_SET << 8) | 1, 64]
+
+    ev = load(spark, sf, "events").filter(F.col("event_id") < 5000).select(
+        "event_id", "event_type", "value", "ts", "props"
+    )
+
+    def rt(batches):
+        for pdf in batches:
+            out = []
+            for eid, et, val, ts, props in zip(
+                pdf["event_id"], pdf["event_type"], pdf["value"],
+                pdf["ts"], pdf["props"],
+            ):
+                eid = int(eid)
+                e2 = int(val * 100 + 0.5)
+                ordv = (None if eid % 7 == 0
+                        else _ENUM_LABELS.index(et) + 1)
+                cells_in = [
+                    eid, ordv, f"{e2 // 100}.{e2 % 100:02d}",
+                    (ts.year, ts.month, ts.day), ts.year, eid % 8, props,
+                ]
+                cells, _ = RD.decode_row(
+                    RD.encode_row(cells_in, types, meta), types, meta
+                )
+                y, mo, d = cells[3]
+                out.append((
+                    cells[0], cells[1], cells[2],
+                    f"{y:04d}-{mo:02d}-{d:02d}", cells[4], cells[5],
+                    cells[6],
+                ))
+            yield pd.DataFrame(out, columns=[
+                "event_id", "etype_ord", "value_str", "d", "yr",
+                "set_mask", "props_rt",
+            ])
+
+    return ev.mapInPandas(
+        rt,
+        schema="event_id long, etype_ord int, value_str string, d string, "
+               "yr int, set_mask int, props_rt string",
+    ).orderBy("event_id")
+
+
+@q(
+    "p8_enum_label_join",
+    f"""
+    SELECT event_id,
+           CAST({_ENUM_ORD_SQL} AS INT) AS ordinal,
+           CASE WHEN event_type = 'error' THEN NULL ELSE event_type END
+             AS label,
+           CASE WHEN event_type = 'error' THEN 'error_missing_label'
+                ELSE 'ok' END AS route,
+           CAST(event_id % 8 AS INT) AS set_mask,
+           concat_ws(',',
+             CASE WHEN (event_id % 8) & 1 = 1 THEN 'gtid' END,
+             CASE WHEN (event_id % 8) & 2 = 2 THEN 'crc' END,
+             CASE WHEN (event_id % 8) & 4 = 4 THEN 'compressed' END)
+             AS set_labels
+    FROM events WHERE event_id < 3000 ORDER BY event_id
+    """,
+)
+def _p8_labels(spark, sf):
+    """Enum/Set LABEL enrichment: ordinals travel through the binlog wire
+    format (ENUM/SET cells via the row decoder), then a BROADCAST labels
+    dimension maps ordinal -> label, mirroring the reference's TableMap
+    optional-metadata label join
+    (/root/reference/binlog/src/events/protocol/table_map_event.rs:347-374,
+    binlog/src/metadata/table_metadata.rs:93-168).  A deliberately missing
+    label ('error' absent from the dim) takes the error route instead of
+    dropping the row (J1 semantics); SET masks expand to comma-joined
+    labels in bit order."""
+    import pandas as pd
+
+    from mysql_cdc_rs_spark.kernel import row_decoder as RD
+
+    types = [RD.T_LONGLONG, RD.T_STRING, RD.T_STRING]
+    meta = [0, (RD.T_ENUM << 8) | 5, (RD.T_SET << 8) | 1]
+
+    ev = load(spark, sf, "events").filter(F.col("event_id") < 3000).select(
+        "event_id", "event_type"
+    )
+
+    def rt(batches):
+        for pdf in batches:
+            out = []
+            for eid, et in zip(pdf["event_id"], pdf["event_type"]):
+                eid = int(eid)
+                cells_in = [eid, _ENUM_LABELS.index(et) + 1, eid % 8]
+                cells, _ = RD.decode_row(
+                    RD.encode_row(cells_in, types, meta), types, meta
+                )
+                out.append((cells[0], cells[1], cells[2]))
+            yield pd.DataFrame(
+                out, columns=["event_id", "ordinal", "set_mask"]
+            )
+
+    decoded = ev.mapInPandas(
+        rt, schema="event_id long, ordinal int, set_mask int"
+    )
+
+    # labels dimension deliberately missing ordinal 2 ('error')
+    dim = spark.createDataFrame(
+        [(i + 1, lbl) for i, lbl in enumerate(_ENUM_LABELS)
+         if lbl != "error"],
+        "ordinal int, label string",
+    )
+    set_flags = [(1, "gtid"), (2, "crc"), (4, "compressed")]
+    set_labels = F.concat_ws(
+        ",",
+        *[F.when(F.col("set_mask").bitwiseAND(bit) == bit, F.lit(name))
+          for bit, name in set_flags],
+    )
+    return (
+        decoded.join(broadcast(dim), "ordinal", "left")
+        .select(
+            "event_id",
+            "ordinal",
+            "label",
+            F.when(F.col("label").isNull(), F.lit("error_missing_label"))
+            .otherwise(F.lit("ok")).alias("route"),
+            "set_mask",
+            set_labels.alias("set_labels"),
+        )
+        .orderBy("event_id")
+    )
+
+
+def _geo_oracle() -> str:
+    """DuckDB twin of the c15 geometry fixture: the canonical-JSON text is
+    reconstructed by string concatenation from the same integer coords."""
+    def D(expr):  # a Python float like 3.0 prints as '3.0' in json.dumps
+        return f"CAST(({expr}) AS VARCHAR) || '.0'"
+
+    x, y = D("n_nationkey"), D("n_regionkey")
+    x1, x3 = D("n_nationkey + 1"), D("n_nationkey + 3")
+    y1, y2, y3 = D("n_regionkey + 1"), D("n_regionkey + 2"), D("n_regionkey + 3")
+    point = f"""'{{"coordinates":[' || {x} || ',' || {y} || '],"srid":4326,"type":"Point"}}'"""
+    line = (f"""'{{"coordinates":[[' || {x} || ',' || {y} || '],[' || {x1} """
+            f"""|| ',' || {y2} || ']],"srid":4326,"type":"LineString"}}'""")
+    poly = (f"""'{{"coordinates":[[[' || {x} || ',' || {y} || '],[' || {x3} """
+            f"""|| ',' || {y} || '],[' || {x3} || ',' || {y3} || '],[' || {x} """
+            f"""|| ',' || {y} || ']]],"srid":4326,"type":"Polygon"}}'""")
+    mpoint = (f"""'{{"coordinates":[[' || {x} || ',' || {y} || '],[' || {y} """
+              f"""|| ',' || {x} || ']],"srid":4326,"type":"MultiPoint"}}'""")
+    coll = (f"""'{{"geometries":[{{"coordinates":[' || {x} || ',' || {y} """
+            f"""|| '],"type":"Point"}},{{"coordinates":[[' || {x} || ',' || {y} """
+            f"""|| '],[' || {x1} || ',' || {y1} || ']],"type":"LineString"}}],"""
+            f""""srid":4326,"type":"GeometryCollection"}}'""")
+    return f"""
+    SELECT n_nationkey,
+           CASE n_nationkey % 5
+             WHEN 0 THEN {point}
+             WHEN 1 THEN {line}
+             WHEN 2 THEN {poly}
+             WHEN 3 THEN {mpoint}
+             ELSE {coll}
+           END AS geo_json
+    FROM nation ORDER BY n_nationkey
+    """
+
+
+@q("c15_wkb_roundtrip", _geo_oracle())
+def _c15(spark, sf):
+    """C15: MySQL geometry cells (SRID + WKB) for EVERY supported shape —
+    Point / LineString / Polygon / MultiPoint / GeometryCollection built
+    from integer coordinates, encoded to wire bytes on executors, decoded
+    by the kernel, and emitted as canonical JSON (parity:
+    /root/reference/binlog/src/column/decoders/geometry.rs:18-160)."""
+    import pandas as pd
+
+    from mysql_cdc_rs_spark.kernel.geometry import (
+        encode_geometry,
+        parse_mysql_geometry,
+    )
+    from mysql_cdc_rs_spark.kernel.jsonb import canonical_json
+
+    na = load(spark, sf, "nation").select("n_nationkey", "n_regionkey")
+
+    def rt(batches):
+        for pdf in batches:
+            out = []
+            for k, r in zip(pdf["n_nationkey"], pdf["n_regionkey"]):
+                x, y = float(k), float(r)
+                kind = int(k) % 5
+                if kind == 0:
+                    g = {"type": "Point", "coordinates": [x, y]}
+                elif kind == 1:
+                    g = {"type": "LineString",
+                         "coordinates": [[x, y], [x + 1, y + 2]]}
+                elif kind == 2:
+                    g = {"type": "Polygon", "coordinates":
+                         [[[x, y], [x + 3, y], [x + 3, y + 3], [x, y]]]}
+                elif kind == 3:
+                    g = {"type": "MultiPoint",
+                         "coordinates": [[x, y], [y, x]]}
+                else:
+                    g = {"type": "GeometryCollection", "geometries": [
+                        {"type": "Point", "coordinates": [x, y]},
+                        {"type": "LineString",
+                         "coordinates": [[x, y], [x + 1, y + 1]]},
+                    ]}
+                g["srid"] = 4326
+                decoded = parse_mysql_geometry(encode_geometry(g))
+                out.append((int(k), canonical_json(decoded)))
+            yield pd.DataFrame(out, columns=["n_nationkey", "geo_json"])
+
+    return na.mapInPandas(
+        rt, schema="n_nationkey int, geo_json string"
+    ).orderBy("n_nationkey")
+
+
+@q(
     "f4_sql_classify",
     r"""
     WITH stmts AS (

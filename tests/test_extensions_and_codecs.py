@@ -168,6 +168,42 @@ def test_wkb_point_roundtrip():
     assert g == {"type": "Point", "coordinates": [12.5, -3.25], "srid": 4326}
 
 
+def test_wkb_all_shapes_roundtrip():
+    """Every shape the reference enumerates (geometry.rs:18-160) survives
+    encode -> parse with SRID, including nested Multi*/Collection."""
+    from mysql_cdc_rs_spark.kernel.geometry import encode_geometry
+
+    shapes = [
+        {"type": "LineString", "coordinates": [[0.0, 0.0], [1.5, 2.5], [3.0, -4.0]]},
+        {"type": "Polygon", "coordinates": [
+            [[0.0, 0.0], [4.0, 0.0], [4.0, 4.0], [0.0, 0.0]],
+            [[1.0, 1.0], [2.0, 1.0], [1.0, 2.0], [1.0, 1.0]],  # hole
+        ]},
+        {"type": "MultiPoint", "coordinates": [[1.0, 2.0], [3.0, 4.0]]},
+        {"type": "MultiLineString", "coordinates": [
+            [[0.0, 0.0], [1.0, 1.0]], [[2.0, 2.0], [3.0, 3.0]],
+        ]},
+        {"type": "MultiPolygon", "coordinates": [
+            [[[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 0.0]]],
+        ]},
+        {"type": "GeometryCollection", "geometries": [
+            {"type": "Point", "coordinates": [9.0, -9.0]},
+            {"type": "LineString", "coordinates": [[0.0, 1.0], [2.0, 3.0]]},
+        ]},
+    ]
+    for g in shapes:
+        cell = dict(g, srid=4326)
+        assert parse_mysql_geometry(encode_geometry(cell)) == cell
+
+
+def test_wkb_big_endian_decodes():
+    import struct
+
+    # big-endian WKB point (byte order flag 0) — parser honors the flag
+    wkb = (0).to_bytes(4, "little") + b"\x00" + struct.pack(">I", 1) + struct.pack(">dd", 7.0, 8.0)
+    assert parse_mysql_geometry(wkb)["coordinates"] == [7.0, 8.0]
+
+
 def test_actual_string_type():
     assert actual_string_type(247, 2) == (247, 2)       # ENUM passthrough
     assert actual_string_type(254, 100) == (254, 100)   # CHAR(100)

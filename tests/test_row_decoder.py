@@ -51,6 +51,30 @@ def test_nulls_varchar_decimal_unsigned():
     assert out2 == cells2
 
 
+def test_temporal2_enum_set_roundtrip():
+    """TIME2/DATETIME2/TIMESTAMP2 with fsp + ENUM/SET-via-STRING cells
+    (utils.rs:351-470; table_map_event.rs ENUM/SET metadata)."""
+    types = [R.T_TIME2, R.T_DATETIME2, R.T_TIMESTAMP2, R.T_STRING, R.T_STRING]
+    meta = [4, 6, 6, (R.T_ENUM << 8) | 5, (R.T_SET << 8) | 2]
+    cells = [
+        (13, 59, 7, 123400),          # fsp=4 keeps 100us units
+        (2025, 8, 16, 23, 1, 2, 999999),
+        1_700_000_000_123_456,        # epoch micros
+        3,                            # ENUM ordinal
+        0b1010_0000_0000_0001,        # 2-byte SET mask
+    ]
+    buf = R.encode_row(cells, types, meta)
+    out, pos = R.decode_row(buf, types, meta)
+    assert out == cells
+    assert pos == len(buf)
+    # fsp truncation: fsp=2 stores 10ms units — sub-unit micros are dropped
+    buf2 = R.encode_row([(1, 2, 3, 987_654)], [R.T_TIME2], [2])
+    assert R.decode_row(buf2, [R.T_TIME2], [2])[0] == [(1, 2, 3, 980_000)]
+    # fsp=0 stores no fractional bytes at all
+    buf3 = R.encode_row([(1, 2, 3, 999_999)], [R.T_TIME2], [0])
+    assert R.decode_row(buf3, [R.T_TIME2], [0])[0] == [(1, 2, 3, 0)]
+
+
 def test_unsigned_split_matters():
     """Same byte decodes differently by signedness (column_parser.rs:159-191)."""
     buf = R.encode_row([200], [R.T_TINY], [0], signedness=[False])
