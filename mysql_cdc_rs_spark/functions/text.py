@@ -26,6 +26,24 @@ def portable_hash60_sql(expr: str, seed: int | None = None) -> str:
     return f"(('0x' || substr(md5({x}), 1, 15))::BIGINT)"
 
 
+MERSENNE_P = (1 << 31) - 1  # 2^31-1, the universal-hash modulus
+
+
+def minhash_coeffs(i: int) -> tuple[int, int]:
+    """Deterministic (a, b) for the i-th universal hash h_i = (a*h + b) % p.
+
+    ONE md5 per shingle (the base hash) + k integer derivations replaces k
+    seeded md5 calls — same exactness, ~k× less hashing on the hot path.
+    a ∈ [1, p-1], b ∈ [0, p-1]; constants are inlined as literals in both
+    the Spark expression and the DuckDB oracle.
+    """
+    import hashlib
+
+    ha = int(hashlib.md5(f"a:{i}".encode()).hexdigest()[:15], 16)
+    hb = int(hashlib.md5(f"b:{i}".encode()).hexdigest()[:15], 16)
+    return ha % (MERSENNE_P - 1) + 1, hb % MERSENNE_P
+
+
 def norm_ws(col: Column) -> Column:
     """Whitespace-canonicalized text (matches kernel textextract collapse)."""
     return F.trim(F.regexp_replace(col, r"\s+", " "))

@@ -20,18 +20,21 @@ doc_id (uniform), so no hot keys.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from mysql_cdc_rs_spark.functions.text import (
+    MERSENNE_P,
+    minhash_coeffs,
     portable_hash60,
     word_shingles,
     words_of,
 )
 
-MINHASH_K = 8  # hash family size
-LSH_BANDS = 4  # bands of MINHASH_K / LSH_BANDS rows each
+MINHASH_K = 64   # hash family size (production-grade; r=4 rows/band)
+LSH_BANDS = 16   # bands of MINHASH_K / LSH_BANDS rows each
 SIMHASH_BITS = 32
+MAX_BUCKET = 512  # degenerate-bucket cap: max members considered per bucket
 
 
 def exact_dedup_stats(docs: DataFrame) -> DataFrame:
@@ -62,28 +65,30 @@ def shingled(docs: DataFrame, n: int = 3) -> DataFrame:
 
 
 def minhash_signatures(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
-    """doc_id -> k minhash values (one column per hash seed).
+    """doc_id -> k minhash values (universal-hash family).
 
-    Computed as min-aggregations over the exploded shingles: one shuffle on
+    ONE md5 base hash per shingle, then k integer (a*h + b) % p
+    derivations — k=64 costs 1 hash + 64 multiply-adds per shingle, not 64
+    hashes.  Min-aggregations over the exploded shingles: one shuffle on
     doc_id, map-side partial mins, no per-row Python.
     """
-    sh = shingled(docs)
-    aggs = [
-        F.min(portable_hash60(F.col("shingle"), seed=i)).alias(f"mh{i}")
-        for i in range(k)
-    ]
+    sh = shingled(docs).withColumn(
+        "h", portable_hash60(F.col("shingle")) % F.lit(MERSENNE_P)
+    )
+    aggs = []
+    for i in range(k):
+        a, b = minhash_coeffs(i)
+        aggs.append(
+            F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MERSENNE_P))
+            .alias(f"mh{i}")
+        )
     return sh.groupBy("doc_id").agg(*aggs)
 
 
-def lsh_candidate_pairs(
+def banded_buckets(
     docs: DataFrame, k: int = MINHASH_K, bands: int = LSH_BANDS
 ) -> DataFrame:
-    """Near-dup candidate pairs: docs sharing any LSH band bucket.
-
-    Band bucket = concat of the band's minhash values; candidates come from
-    a self-equi-join on (band_id, bucket) — the scale path: join fan-out is
-    bounded by bucket occupancy, never O(n^2).
-    """
+    """(doc_id, band_id, bucket) — one row per doc per band."""
     rows_per_band = k // bands
     sig = minhash_signatures(docs, k)
     band_cols = []
@@ -92,21 +97,71 @@ def lsh_candidate_pairs(
         band_cols.append(
             F.struct(F.lit(b).alias("band_id"), F.concat_ws("_", *cols).alias("bucket"))
         )
-    banded = sig.select(
+    return sig.select(
         "doc_id", F.explode(F.array(*band_cols)).alias("band")
     ).select("doc_id", "band.band_id", "band.bucket")
-    # Scale-critical shape: NO self-join (a self-join would recompute the
-    # whole shingle->minhash subtree twice and shuffle the corpus against
-    # itself).  Instead: groupBy bucket -> member list -> explode in-bucket
-    # pairs.  Bucket occupancy is small by LSH construction, so the pair
-    # arrays stay tiny; work is one shuffle on the bucket key.
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame,
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+    max_bucket: int = MAX_BUCKET,
+) -> DataFrame:
+    """Near-dup candidate pairs: docs sharing any LSH band bucket.
+
+    Scale-critical shape: NO self-join (a self-join would recompute the
+    whole shingle->minhash subtree twice and shuffle the corpus against
+    itself).  Instead: groupBy bucket -> member list -> explode in-bucket
+    pairs.  Bucket occupancy is small by LSH construction, so the pair
+    arrays stay tiny; work is one shuffle on the bucket key.
+
+    Degenerate buckets (e.g. boilerplate/empty-ish docs sharing a
+    signature) are HARD-CAPPED at ``max_bucket`` members BEFORE the
+    collect_list, via a row_number window over the same key — the window
+    and the groupBy share partitioning, so the cap costs a sort, not an
+    extra shuffle, and no executor ever materializes an unbounded member
+    array.  Kept members are the lowest doc_ids (deterministic); use
+    ``lsh_bucket_stats`` to monitor how many rows the cap drops.
+    """
+    banded = banded_buckets(docs, k, bands)
+    w = Window.partitionBy("band_id", "bucket").orderBy("doc_id")
+    bounded = banded.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= max_bucket
+    )
     return (
-        banded.groupBy("band_id", "bucket")
+        bounded.groupBy("band_id", "bucket")
         .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
         .where(F.size("ids") >= 2)
         .select(F.explode(_pairs_expr("ids")).alias("p"))
         .select(F.col("p.doc_a"), F.col("p.doc_b"))
         .distinct()
+    )
+
+
+def lsh_bucket_stats(
+    docs: DataFrame,
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+    max_bucket: int = MAX_BUCKET,
+) -> DataFrame:
+    """Monitoring companion to lsh_candidate_pairs: bucket-occupancy census
+    and how many (doc, band) rows the degenerate-bucket cap drops."""
+    sizes = banded_buckets(docs, k, bands).groupBy("band_id", "bucket").agg(
+        F.count("*").alias("n_members")
+    )
+    return sizes.agg(
+        F.count("*").alias("n_buckets"),
+        F.max("n_members").alias("max_bucket_size"),
+        F.sum(F.when(F.col("n_members") > max_bucket, 1).otherwise(0)).alias(
+            "n_oversize_buckets"
+        ),
+        F.sum(
+            F.when(
+                F.col("n_members") > max_bucket,
+                F.col("n_members") - max_bucket,
+            ).otherwise(0)
+        ).alias("n_rows_dropped_by_cap"),
     )
 
 

@@ -80,16 +80,23 @@ def plane_weight(plane: int, dim: int) -> int:
 def lsh_bucket(emb, dim: int, n_planes: int = N_PLANES):
     """Sign-sketch bucket id: bit p = sign(sum_d w(p,d) * emb[d]).
 
-    Sequential left-to-right sum in double — bit-reproducible in SQL.
+    The projection is ONE aggregate(zip_with(emb, weights, *)) fold per
+    plane over a literal weights array — codegen stays compact at any dim
+    (a chained `+` expression tree grows linearly and blows past the
+    codegen limit around dim 768).  The fold is sequential left-to-right
+    in double, starting at 0.0: bit-identical to the oracle's chained sum
+    because 0.0 + x == x for every product the fold sees.
     """
     bucket = F.lit(0).cast("long")
     for p in range(n_planes):
-        proj = None
-        for d in range(dim):
-            term = F.element_at(emb, d + 1).cast("double") * F.lit(
-                float(plane_weight(p, d))
-            )
-            proj = term if proj is None else proj + term
+        weights = F.array(
+            *[F.lit(float(plane_weight(p, d))) for d in range(dim)]
+        )
+        proj = F.aggregate(
+            F.zip_with(emb, weights, lambda x, w: x.cast("double") * w),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
         bucket = bucket + F.when(proj > 0, F.lit(1 << p).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
@@ -139,20 +146,54 @@ def lsh_topk(
     )
 
 
-def neardup_pairs(corpus: DataFrame, dim: int, min_cos: float) -> DataFrame:
-    """Embedding near-duplicate pairs within LSH buckets (cos >= threshold)."""
-    cb = corpus.withColumn("bucket", lsh_bucket(F.col("embedding"), dim))
-    a = cb.alias("a")
-    b = cb.alias("b")
+def neardup_pairs(
+    corpus: DataFrame, dim: int, min_cos: float, max_bucket: int = 512
+) -> DataFrame:
+    """Embedding near-duplicate pairs within LSH buckets (cos >= threshold).
+
+    Same scale shape as dedup.lsh_candidate_pairs: the corpus is scanned
+    ONCE (a self-join would evaluate the bucket projection twice over the
+    corpus), bucket members are capped at ``max_bucket`` via a row_number
+    window sharing the groupBy's partitioning, and pairs explode in-bucket
+    from the bounded member array.
+    """
+    cb = corpus.select(
+        "vec_id",
+        "embedding",
+        lsh_bucket(F.col("embedding"), dim).alias("bucket"),
+    )
+    w = Window.partitionBy("bucket").orderBy("vec_id")
+    bounded = cb.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= max_bucket
+    )
+    members = (
+        bounded.groupBy("bucket")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("vec_id", "embedding"))
+            ).alias("ms")
+        )
+        .where(F.size("ms") >= 2)
+    )
+    pairs = members.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(1, size(ms) - 1), "
+                "i -> transform(slice(ms, i + 1, size(ms) - i), "
+                "y -> struct(element_at(ms, i) AS a, y AS b))))"
+            )
+        ).alias("p")
+    )
     return (
-        a.join(b, "bucket")
-        .where(F.col("a.vec_id") < F.col("b.vec_id"))
-        .withColumn("sim", cosine(F.col("a.embedding"), F.col("b.embedding")))
+        pairs.withColumn(
+            "sim", cosine(F.col("p.a.embedding"), F.col("p.b.embedding"))
+        )
         .where(F.col("sim") >= min_cos)
         .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
+            F.col("p.a.vec_id").alias("vec_a"),
+            F.col("p.b.vec_id").alias("vec_b"),
         )
+        .distinct()
         .orderBy("vec_a", "vec_b")
     )
 

@@ -616,8 +616,14 @@ sh AS (
 """
 
 
-def _mh_sql(seed: int) -> str:
-    return f"min(('0x' || substr(md5('{seed}:' || shingle), 1, 15))::BIGINT)"
+def _mh_sql(i: int) -> str:
+    """DuckDB twin of the universal-hash minhash: one md5 base hash per
+    shingle + (a*h + b) % p with the same inlined constants."""
+    from mysql_cdc_rs_spark.functions.text import MERSENNE_P, minhash_coeffs
+
+    a, b = minhash_coeffs(i)
+    base = f"((('0x' || substr(md5(shingle), 1, 15))::BIGINT) % {MERSENNE_P})"
+    return f"min(({a} * {base} + {b}) % {MERSENNE_P})"
 
 
 @q(
@@ -665,11 +671,19 @@ _BANDS_SQL = (
 @q(
     "dedup_lsh_pairs",
     _BANDS_SQL
-    + """
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM banded a JOIN banded b
-      ON a.band_id = b.band_id AND a.bucket = b.bucket
-    WHERE a.doc_id < b.doc_id
+    + f"""
+    , capped AS (
+      -- mirrors the Spark side's degenerate-bucket cap: keep the
+      -- MAX_BUCKET lowest doc_ids per bucket before pairing
+      SELECT list_sort(list(doc_id))[1:{DD.MAX_BUCKET}] AS ids
+      FROM banded GROUP BY band_id, bucket HAVING count(*) >= 2
+    ),
+    pairs AS (
+      SELECT unnest(flatten(list_transform(range(1, len(ids)), i ->
+               list_transform(ids[i+1:], y -> [ids[i], y])))) AS p
+      FROM capped
+    )
+    SELECT DISTINCT p[1] AS doc_a, p[2] AS doc_b FROM pairs
     ORDER BY doc_a, doc_b
     """,
 )

@@ -168,6 +168,46 @@ def test_short_docs_yield_zero_shingles_not_crash(spark):
     DD.ngram_jaccard_pairs(docs).collect()
 
 
+def test_lsh_degenerate_bucket_is_capped(spark):
+    """100 identical docs share every band bucket; with max_bucket=10 the
+    pair count is bounded at C(10,2) per the cap, not C(100,2) — and
+    lsh_bucket_stats reports exactly what the cap drops."""
+    from mysql_cdc_rs_spark.operators import dedup as DD
+
+    text = "the exact same boilerplate text repeated across many documents"
+    docs = spark.createDataFrame(
+        [(i, text) for i in range(100)], "doc_id long, text string"
+    )
+    pairs = DD.lsh_candidate_pairs(docs, max_bucket=10).collect()
+    assert len(pairs) == 45  # C(10,2), lowest doc_ids kept
+    assert {r["doc_a"] for r in pairs} | {r["doc_b"] for r in pairs} == set(range(10))
+    stats = DD.lsh_bucket_stats(docs, max_bucket=10).first()
+    assert stats["max_bucket_size"] == 100
+    assert stats["n_oversize_buckets"] == DD.LSH_BANDS  # every band's bucket
+    assert stats["n_rows_dropped_by_cap"] == DD.LSH_BANDS * 90
+
+
+def test_emb_neardup_capped_and_single_scan(spark):
+    from mysql_cdc_rs_spark.operators import similarity as SIM
+
+    base = [1.0, 0.5, -0.25, 2.0]
+    rows = [(i, [v + (0.001 * i) for v in base]) for i in range(20)]
+    rows.append((99, [-5.0, 4.0, 1.0, -2.0]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = SIM.neardup_pairs(emb, dim=4, min_cos=0.999)
+    got = {(r["vec_a"], r["vec_b"]) for r in pairs.collect()}
+    assert (0, 1) in got and all(99 not in p for p in got)
+    # the corpus is scanned once (no self-join double scan); with AQE the
+    # plan string carries Final AND Initial sections — count the final only
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0].lower()
+    assert final.count("scan existingrdd") + final.count("localtablescan") <= 1
+    # cap bounds the member arrays
+    capped = SIM.neardup_pairs(emb, dim=4, min_cos=0.0, max_bucket=5)
+    ids = {x for r in capped.collect() for x in (r["vec_a"], r["vec_b"])}
+    assert len(ids) <= 10  # at most max_bucket per bucket, few buckets
+
+
 def test_simhash_similar_docs_close(spark):
     from mysql_cdc_rs_spark.operators import dedup as DD
 
