@@ -107,5 +107,23 @@ def decompress_body(rec: HttpRecord) -> bytes | None:
         try:
             return zlib.decompress(rec.body)
         except zlib.error:
+            # some encoders emit RAW deflate streams (no zlib header)
+            try:
+                return zlib.decompress(rec.body, wbits=-15)
+            except zlib.error:
+                return None
+    if enc == b"zstd":
+        # MySQL 8's TRANSACTION_PAYLOAD default algorithm
+        # (mysql8_decoders.rs:14-97); gated: the lib may be absent in
+        # minimal containers, in which case the page takes the error route.
+        try:
+            import zstandard
+        except ImportError:
+            return None
+        try:
+            return zstandard.ZstdDecompressor().decompress(
+                rec.body, max_output_size=1 << 26
+            )
+        except zstandard.ZstdError:
             return None
     return None

@@ -1551,6 +1551,138 @@ def _p8_labels(spark, sf):
     )
 
 
+@q(
+    "p4_deflate_roundtrip",
+    f"""
+    SELECT doc_id, md5({NORM_TEXT_SQL}) AS text_md5, 'content_plain' AS route
+    FROM documents WHERE doc_id < 400 ORDER BY doc_id
+    """,
+)
+def _p4_deflate(spark, sf):
+    """P4 compressed-payload parity beyond gzip: text/plain pages with
+    Content-Encoding: deflate — alternating zlib-wrapped and RAW deflate
+    streams — are built on executors and pushed through the REAL page
+    decoder (header grok -> decompress_body -> charset -> text), matching
+    MySQL 8's TRANSACTION_PAYLOAD multi-algorithm handling
+    (/root/reference/binlog/src/decoder/mysql8_decoders.rs:14-97)."""
+    import hashlib
+    import zlib
+
+    import pandas as pd
+
+    from mysql_cdc_rs_spark.kernel.decode import decode_page
+
+    docs = load(spark, sf, "documents").filter(F.col("doc_id") < 400).select(
+        "doc_id", "text"
+    )
+
+    def rt(batches):
+        for pdf in batches:
+            out = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                norm = " ".join(text.split())
+                body = zlib.compress(norm.encode("utf-8"))
+                if did % 2 == 1:  # raw deflate stream (no zlib header)
+                    body = body[2:-4]
+                head = (
+                    "HTTP/1.1 200 OK\r\n"
+                    "Content-Type: text/plain; charset=utf-8\r\n"
+                    "Content-Encoding: deflate\r\n"
+                    f"Content-Length: {len(body)}\r\n\r\n"
+                ).encode("ascii")
+                d = decode_page(head + body)
+                out.append((
+                    did,
+                    hashlib.md5((d["text"] or "").encode("utf-8")).hexdigest(),
+                    d["route"],
+                ))
+            yield pd.DataFrame(out, columns=["doc_id", "text_md5", "route"])
+
+    return docs.mapInPandas(
+        rt, schema="doc_id long, text_md5 string, route string"
+    ).orderBy("doc_id")
+
+
+@q(
+    "mm_decode_stats",
+    """
+    SELECT doc_id,
+      CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'audio/wav' END AS mime,
+      CAST(CASE WHEN doc_id % 2 = 0 THEN 2 + doc_id % 6 END AS INT) AS width,
+      CAST(CASE WHEN doc_id % 2 = 0 THEN 2 + doc_id % 4 END AS INT) AS height,
+      CAST(CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END AS INT) AS channels,
+      CAST(CASE WHEN doc_id % 2 = 1 THEN 16 + doc_id % 32 END AS INT)
+        AS n_samples,
+      CAST(CASE WHEN doc_id % 2 = 1 THEN 8000 + (doc_id % 3) * 4000 END AS INT)
+        AS sample_rate,
+      CAST(CASE WHEN doc_id % 2 = 0 THEN
+        list_sum(flatten(list_transform(range(0, 2 + doc_id % 6), x ->
+          flatten(list_transform(range(0, 2 + doc_id % 4), y ->
+            list_transform(range(0, 3), c ->
+              (doc_id * 31 + x * 7 + y * 13 + c * 97) % 256))))))
+      ELSE
+        list_sum(list_transform(range(0, 16 + doc_id % 32), i ->
+          abs(((doc_id * 7919 + i * 104729) % 65536) - 32768)))
+      END AS BIGINT) AS payload_sum,
+      'decoded' AS decode_status
+    FROM documents WHERE doc_id < 300 ORDER BY doc_id
+    """,
+)
+def _mm(spark, sf):
+    """Multimodal decode: REAL pure-stdlib PNG/WAV codecs — deterministic
+    blobs are byte-built on executors (real zlib-compressed PNGs, real
+    RIFF PCM), decoded back by the chunk-walking parsers, and the exact
+    pixel/amplitude sums are checked against a closed-form SQL oracle.
+    Binary plumbing per SURVEY §2 multimodal plan: mapInPandas over the
+    blob column, no shuffle."""
+    import pandas as pd
+
+    from mysql_cdc_rs_spark.operators import multimodal as MM
+
+    docs = load(spark, sf, "documents").filter(F.col("doc_id") < 300).select(
+        "doc_id"
+    )
+
+    def rt(batches):
+        for pdf in batches:
+            out = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                if did % 2 == 0:
+                    w, h = 2 + did % 6, 2 + did % 4
+                    pixels = bytes(
+                        (did * 31 + x * 7 + y * 13 + c * 97) % 256
+                        for y in range(h) for x in range(w) for c in range(3)
+                    )
+                    blob = MM.encode_png(w, h, pixels)
+                    status, st, _ = MM.decode_blob(blob, "image/png")
+                    out.append((did, "image/png", st["width"], st["height"],
+                                st["channels"], None, None,
+                                st["pixel_sum"], status))
+                else:
+                    n = 16 + did % 32
+                    rate = 8000 + (did % 3) * 4000
+                    samples = [((did * 7919 + i * 104729) % 65536) - 32768
+                               for i in range(n)]
+                    blob = MM.encode_wav(samples, sample_rate=rate)
+                    status, st, _ = MM.decode_blob(blob, "audio/wav")
+                    out.append((did, "audio/wav", None, None,
+                                st["channels"], st["n_samples"],
+                                st["sample_rate"], st["abs_sum"], status))
+            yield pd.DataFrame(out, columns=[
+                "doc_id", "mime", "width", "height", "channels",
+                "n_samples", "sample_rate", "payload_sum", "decode_status",
+            ])
+
+    return docs.mapInPandas(
+        rt,
+        schema="doc_id long, mime string, width int, height int, "
+               "channels int, n_samples int, sample_rate int, "
+               "payload_sum long, decode_status string",
+    ).orderBy("doc_id")
+
+
 def _geo_oracle() -> str:
     """DuckDB twin of the c15 geometry fixture: the canonical-JSON text is
     reconstructed by string concatenation from the same integer coords."""

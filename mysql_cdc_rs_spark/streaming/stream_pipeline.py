@@ -41,12 +41,50 @@ def stream_pages(spark, pages_dir: str, max_files_per_trigger: int = 8) -> DataF
     )
 
 
+def stream_pages_rate(
+    spark, rows_per_batch: int = 200, seed: int = 42
+) -> DataFrame:
+    """Socket-style live source analog #2: a ``rate-micro-batch`` stream
+    whose monotonically increasing ``value`` seeds the SAME deterministic
+    page generator as the batch source — the unbounded replication-dump
+    subscribe loop of the reference
+    (/root/reference/connection/src/binlog/binlog_subscribe.rs:51-96)
+    restated as an always-on source.  Everything downstream (decode,
+    enrich, route, metrics) is shared verbatim with the batch pipeline and
+    the file-arrival stream; swapping the source line is the whole diff —
+    which is the point: Kafka in production is the same one-line swap.
+    """
+    import pandas as pd
+
+    from mysql_cdc_rs_spark.sources.pages import make_record
+
+    raw = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", rows_per_batch)
+        .option("startTimestamp", 0)
+        .load()
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = [make_record(seed, int(v)) for v in pdf["value"]]
+            yield pd.DataFrame(
+                rows, columns=["url", "warc_ts", "html", "text", "lang"]
+            )
+
+    return raw.mapInPandas(gen, schema=PAGES_DDL)
+
+
 def start_routing_stream(
-    stream_df: DataFrame, sink_dir: str, checkpoint_dir: str
+    stream_df: DataFrame,
+    sink_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
 ):
     """decode -> enrich -> per-route fan-out append, exactly-once via
-    checkpoint.  Returns the StreamingQuery (availableNow trigger so tests
-    and backfills drain the source then stop)."""
+    checkpoint.  Returns the StreamingQuery.  ``available_now=True`` drains
+    a bounded source then stops (tests/backfills); pass False for unbounded
+    sources (rate / Kafka) to run continuously."""
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         routed = route_table(enrich(decode_pages(batch_df)))
@@ -54,12 +92,12 @@ def start_routing_stream(
             f"{sink_dir}/routed"
         )
 
-    return (
-        stream_df.writeStream.foreachBatch(write_batch)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    writer = stream_df.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint_dir
     )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
 
 
 def start_windowed_metrics_stream(

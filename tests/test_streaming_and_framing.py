@@ -178,3 +178,47 @@ def test_streaming_session_windows(spark):
         # cover nearly all of it with a 6h gap over a 30-day span
         total = sum(r["n_events"] for r in rows)
         assert 380 <= total <= 400
+
+
+def test_rate_source_stream_matches_batch(spark):
+    """S5 live-source analog #2: the rate-micro-batch stream feeds the SAME
+    decode->enrich->route transforms; rows for the first batch's values are
+    row-identical to the batch pipeline over the same generator range."""
+    import time
+
+    from mysql_cdc_rs_spark.operators.decode import decode_pages
+    from mysql_cdc_rs_spark.operators.enrich import enrich
+    from mysql_cdc_rs_spark.operators.route import route_table
+    from mysql_cdc_rs_spark.streaming.stream_pipeline import (
+        start_routing_stream,
+        stream_pages_rate,
+    )
+
+    with tempfile.TemporaryDirectory() as tmp:
+        sink = f"{tmp}/sink"
+        st = stream_pages_rate(spark, rows_per_batch=120, seed=7)
+        q = start_routing_stream(st, sink, f"{tmp}/ckpt", available_now=False)
+        try:
+            deadline = time.time() + 120
+            n = 0
+            while time.time() < deadline and n < 120:
+                try:
+                    n = spark.read.parquet(f"{sink}/routed").count()
+                except Exception:
+                    n = 0
+                time.sleep(1)
+        finally:
+            q.stop()
+        assert n >= 120  # at least the first micro-batch committed
+        routed = spark.read.parquet(f"{sink}/routed")
+        # rate values are contiguous from 0 -> the first 120 pages must be
+        # row-identical to the batch pipeline over the same (seed, i) range
+        batch = route_table(enrich(decode_pages(pages_df(spark, 120, seed=7))))
+        cols = ["url", "route", "event_type", "text"]
+        want = batch.select(*cols)
+        got = routed.select(*cols).join(
+            want.select("url"), "url", "left_semi"
+        )
+        assert want.count() == 120
+        assert got.exceptAll(want).count() == 0
+        assert want.exceptAll(got).count() == 0
