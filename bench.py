@@ -162,6 +162,10 @@ def main() -> None:
         s = build("local[8]")
         pages = s.read.parquet(SCALING_PARQUET).repartition(16).cache()
         pages.count()
+        total_mb = (
+            pages.agg(F.sum(F.length("html")).alias("b")).first()["b"]
+            / 1_000_000.0
+        )
         leg_small = pages.coalesce(1)
         leg_big = pages.coalesce(4)
 
@@ -207,6 +211,16 @@ def main() -> None:
                 "pages_per_sec": round(SCALING_N / best_r["4core_sec"], 1),
             },
             "efficiency_N_to_4N": best,
+        }
+        # 100 TB cost model: the decode kernel's per-core unit economics
+        # (pages AND bytes, from the quietest 1-core leg over cached input)
+        t1 = best_r["1core_sec"]
+        result["kernel_per_core"] = {
+            "pages_per_sec_per_core": round(SCALING_N / t1, 1),
+            "mb_per_sec_per_core": round(total_mb / t1, 2),
+            "input_mb": round(total_mb, 1),
+            "basis": "quietest 1-core leg, decode+enrich+route-aggregate "
+            "over memory-cached pages",
         }
 
         # secondary: full pipeline (uncached, incl. sink write) at 8 vs 32
@@ -272,6 +286,19 @@ def _write_bench_md(r: dict) -> None:
             " bandwidth and scan CPU with the fleet, which one box cannot.",
             "",
         ]
+        kc = r.get("kernel_per_core")
+        if kc:
+            lines += [
+                "## Decode-kernel unit economics (100 TB cost model)",
+                "",
+                f"- **{kc['pages_per_sec_per_core']} pages/s/core**, "
+                f"**{kc['mb_per_sec_per_core']} MB/s/core** raw html bytes "
+                f"({kc['input_mb']} MB input; {kc['basis']})",
+                "- at 100 TB of raw pages, total core-hours ≈ "
+                f"{round(100e6 / max(kc['mb_per_sec_per_core'], 0.01) / 3600, 0)}"
+                " — divide by fleet core count for wall-clock",
+                "",
+            ]
         f = r.get("scaling_full_pipeline", {})
         if f:
             lines += [
