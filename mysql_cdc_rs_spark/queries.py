@@ -1552,6 +1552,60 @@ def _p8_labels(spark, sf):
 
 
 @q(
+    "r4_strategy_dispatch",
+    """
+    WITH msgs AS (
+      SELECT event_id,
+             'sess-' || CAST(user_id % 50 AS VARCHAR) AS session_id,
+             CASE event_type
+               WHEN 'signup'   THEN 'CONNECTION'
+               WHEN 'purchase' THEN 'StartBinlog'
+               WHEN 'click'    THEN 'IGNORE'
+               WHEN 'view'     THEN 'StartBinlog'
+               ELSE 'BOGUS'
+             END AS action,
+             props AS data
+      FROM events WHERE event_id < 3000
+    )
+    SELECT event_id, session_id, action,
+           CASE WHEN action = 'StartBinlog' THEN 'handled'
+                WHEN action = 'IGNORE' THEN 'ignored'
+                ELSE 'unknown' END AS route,
+           CASE WHEN action = 'StartBinlog'
+                  THEN 'binlog-started:' || coalesce(data, '')
+                WHEN action = 'IGNORE' THEN NULL
+                ELSE 'unknown-action:' || action END AS payload
+    FROM msgs ORDER BY event_id
+    """,
+)
+def _r4(spark, sf):
+    """R4: wss action-strategy message routing — incoming monitoring
+    messages dispatch by action type through the registered strategy
+    factory in ONE column-only pass (parity:
+    /root/reference/web/src/wss/strategy/factory.rs:42-57, action enum
+    wss_action_type.rs; StartBinlog handled, IGNORE dropped, everything
+    else -> unknown strategy)."""
+    from mysql_cdc_rs_spark.operators.monitoring import dispatch_messages
+
+    ev = load(spark, sf, "events").filter(F.col("event_id") < 3000)
+    msgs = ev.select(
+        "event_id",
+        F.concat(F.lit("sess-"), (F.col("user_id") % 50).cast("string"))
+        .alias("session_id"),
+        F.when(F.col("event_type") == "signup", "CONNECTION")
+        .when(F.col("event_type") == "purchase", "StartBinlog")
+        .when(F.col("event_type") == "click", "IGNORE")
+        .when(F.col("event_type") == "view", "StartBinlog")
+        .otherwise("BOGUS")
+        .alias("action"),
+        F.col("props").alias("data"),
+    )
+    return dispatch_messages(msgs).select(
+        "event_id", "session_id", "action", "route", "payload"
+    ).orderBy("event_id")
+
+
+@q(
     "p4_deflate_roundtrip",
     f"""
     SELECT doc_id, md5({NORM_TEXT_SQL}) AS text_md5, 'content_plain' AS route

@@ -222,3 +222,79 @@ def test_rate_source_stream_matches_batch(spark):
         assert want.count() == 120
         assert got.exceptAll(want).count() == 0
         assert want.exceptAll(got).count() == 0
+
+
+def test_monitoring_metrics_listener_and_run_snapshot(spark):
+    """S10 analog: per-micro-batch progress rows land in the metrics table
+    via StreamingQueryListener; batch runs publish snapshot rows."""
+    import time
+
+    from mysql_cdc_rs_spark.operators.monitoring import (
+        MetricsListener,
+        publish_run_metrics,
+    )
+    from mysql_cdc_rs_spark.sources.catalog import SinkCatalog
+    from mysql_cdc_rs_spark.streaming.stream_pipeline import (
+        start_routing_stream,
+        stream_pages,
+    )
+
+    with tempfile.TemporaryDirectory() as tmp:
+        src = f"{tmp}/pages"
+        pages_df(spark, 200, seed=42, num_partitions=4).write.parquet(src)
+        cat = SinkCatalog(spark, f"{tmp}/mon")
+        listener = MetricsListener(cat)
+        spark.streams.addListener(listener)
+        try:
+            q = start_routing_stream(
+                stream_pages(spark, src), f"{tmp}/sink", f"{tmp}/ckpt"
+            )
+            q.awaitTermination()
+            # listener events are delivered asynchronously
+            deadline = time.time() + 60
+            rows = []
+            while time.time() < deadline:
+                if cat.exists("monitoring_metrics"):
+                    rows = cat.read("monitoring_metrics").collect()
+                    if any(r["metric"] == "batch_input_rows" for r in rows):
+                        break
+                time.sleep(1)
+        finally:
+            spark.streams.removeListener(listener)
+        got = sum(
+            r["value"] for r in rows if r["metric"] == "batch_input_rows"
+        )
+        assert got == 200  # every input row accounted in pushed metrics
+
+        publish_run_metrics(cat, "run-1", {"a": 3, "b": 7}, elapsed_sec=2.0)
+        snap = {
+            r["metric"]: r["value"]
+            for r in cat.read("monitoring_metrics").collect()
+            if r["source"] == "run-1"
+        }
+        assert snap["rows_total"] == 10.0
+        assert snap["route_count.a"] == 3.0
+        assert snap["rows_per_sec"] == 5.0
+
+
+def test_wss_strategy_dispatch(spark):
+    """R4: registered action -> handled payload; IGNORE -> dropped payload;
+    unknown action -> unknown strategy, all in one column-only pass."""
+    from mysql_cdc_rs_spark.operators import monitoring as MON
+
+    msgs = spark.createDataFrame(
+        [
+            (1, "s1", "StartBinlog", "file=mysql-bin.000001"),
+            (2, "s1", "IGNORE", "x"),
+            (3, "s2", "CONNECTION", "y"),
+            (4, "s3", "NOPE", None),
+        ],
+        "msg_id long, session_id string, action string, data string",
+    )
+    got = {r["msg_id"]: r for r in MON.dispatch_messages(msgs).collect()}
+    assert got[1]["route"] == "handled"
+    assert got[1]["payload"] == "binlog-started:file=mysql-bin.000001"
+    assert got[2]["route"] == "ignored" and got[2]["payload"] is None
+    assert got[3]["route"] == "unknown"
+    assert got[3]["payload"] == "unknown-action:CONNECTION"
+    assert got[4]["payload"] == "unknown-action:NOPE"
