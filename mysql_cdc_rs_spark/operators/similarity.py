@@ -200,6 +200,82 @@ def neardup_pairs(
 
 # --- IVF (inverted-file) path ------------------------------------------------
 
+KMEANS_SCALE = 1_000_000  # fixed-point e6 units: exact in BIGINT + double
+
+
+def _int_embeddings(corpus: DataFrame) -> DataFrame:
+    """embedding float[] -> exact e6 BIGINT[] (portable across engines)."""
+    return corpus.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) "
+            f"* {KMEANS_SCALE} + 0.5) AS BIGINT))"
+        ).alias("ei"),
+    )
+
+
+def _int_dist(ei_col, cent: list[int]):
+    """Exact squared L2 distance to a literal centroid (all BIGINT)."""
+    lit = F.array(*[F.lit(int(c)).cast("long") for c in cent])
+    return F.aggregate(
+        F.zip_with(ei_col, lit, lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def kmeans_train_int(
+    corpus: DataFrame, dim: int, k: int = 8, iters: int = 2
+) -> DataFrame:
+    """Distributed Lloyd's k-means — the IVF coarse-quantizer TRAINING step
+    the assignment path consumes (closing the 'assignment only' gap).
+
+    Everything is EXACT integer arithmetic so the result is bit-identical
+    in any engine: embeddings quantize to e6 BIGINTs, distances are
+    integer squared-L2, new centroids are floor(per-dim mean).  Ties break
+    to the lowest cent_id.  Init = the k lowest vec_ids (deterministic).
+
+    Scale shape: per iteration the corpus is scanned once against k
+    BROADCAST literal centroids (k*dim ints — driver-held, like the
+    reference's bounded caches) and the recompute is one groupBy(cent_id)
+    with dim column aggregates — map-side partials, no wide shuffle.
+    Empty clusters drop out (both engines derive clusters purely from the
+    group results, so they agree).  Returns (vec_id, cent_id, dist) after
+    ``iters`` assignment rounds.
+    """
+    e6 = _int_embeddings(corpus)
+    cents = [
+        (int(r["vec_id"]), list(r["ei"]))
+        for r in e6.orderBy("vec_id").limit(k).collect()
+    ]
+    assigned = None
+    for it in range(iters):
+        best_c = F.lit(cents[0][0])
+        best_d = _int_dist(F.col("ei"), cents[0][1])
+        for cid, c in cents[1:]:
+            d = _int_dist(F.col("ei"), c)
+            best_c = F.when(d < best_d, F.lit(cid)).otherwise(best_c)
+            best_d = F.when(d < best_d, d).otherwise(best_d)
+        assigned = e6.select(
+            "vec_id", "ei",
+            best_c.alias("cent_id"), best_d.alias("dist"),
+        )
+        if it == iters - 1:
+            break
+        means = assigned.groupBy("cent_id").agg(
+            *[
+                F.floor(
+                    F.sum(F.element_at("ei", d + 1)) / F.count("*")
+                ).cast("long").alias(f"m{d}")
+                for d in range(dim)
+            ]
+        )
+        cents = sorted(
+            (int(r["cent_id"]), [int(r[f"m{d}"]) for d in range(dim)])
+            for r in means.collect()
+        )
+    return assigned.select("vec_id", "cent_id", "dist")
+
 def ivf_assign(corpus: DataFrame, centroids: DataFrame) -> DataFrame:
     """Assign every vector to its max-cosine centroid (coarse quantizer).
 

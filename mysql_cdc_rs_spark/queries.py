@@ -1176,6 +1176,60 @@ def _ann_ivf(spark, sf):
     return SIM.ivf_topk(emb, queries, centroids, k=5)
 
 
+def _kmeans_oracle(k: int = 8, iters: int = 2, dim: int = 64) -> str:
+    """DuckDB twin of kmeans_train_int: same exact-integer Lloyd's rounds."""
+    dist = (
+        "CAST(list_sum(list_transform(range(1, {n}), i -> "
+        "({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))) AS BIGINT)"
+    )
+
+    def D(a, b):
+        return dist.format(a=a, b=b, n=dim + 1)
+
+    assign = """
+    {out} AS (
+      SELECT vec_id, ei, cent_id, dist FROM (
+        SELECT e.vec_id, e.ei, c.cent_id, {d} AS dist,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {d} ASC, c.cent_id ASC) AS r
+        FROM e6 e CROSS JOIN {cent} c
+      ) WHERE r = 1
+    )"""
+    sql = f"""
+    WITH e6 AS (
+      SELECT vec_id, list_transform(embedding, x ->
+        CAST(floor(x::DOUBLE * 1000000 + 0.5) AS BIGINT)) AS ei
+      FROM embeddings
+    ),
+    c0 AS (SELECT vec_id AS cent_id, ei AS c FROM e6 WHERE vec_id < {k}),
+    dims AS (SELECT unnest(range(1, {dim + 1})) AS d),
+    {assign.format(out='a1', cent='c0', d=D('e.ei', 'c.c'))},
+    s1 AS (
+      SELECT cent_id, d,
+             CAST(floor(sum(ei[d])::DOUBLE / count(*)) AS BIGINT) AS m
+      FROM a1 CROSS JOIN dims GROUP BY cent_id, d
+    ),
+    c1 AS (SELECT cent_id, list(m ORDER BY d) AS c FROM s1 GROUP BY cent_id),
+    {assign.format(out='a2', cent='c1', d=D('e.ei', 'c.c'))}
+    SELECT vec_id, CAST(cent_id AS BIGINT) AS cent_id, dist
+    FROM a{iters} ORDER BY vec_id
+    """
+    return sql
+
+
+@q("ivf_kmeans_train", _kmeans_oracle())
+def _ivf_train(spark, sf):
+    """IVF coarse-quantizer TRAINING: 2 Lloyd's rounds in exact integer
+    arithmetic (e6 quantization, integer squared-L2, floor-mean centroid
+    update) so the trained assignment is bit-identical to the SQL oracle.
+    Completes the IVF path: kmeans_train_int -> ivf_assign -> ivf_topk."""
+    emb = load(spark, sf, "embeddings")
+    out = SIM.kmeans_train_int(emb, dim=64, k=8, iters=2)
+    return out.select(
+        "vec_id", F.col("cent_id").cast("long").alias("cent_id"), "dist"
+    ).orderBy("vec_id")
+
+
 @q(
     "skew_salted_agg",
     f"""

@@ -236,6 +236,32 @@ def test_brute_force_topk_exact(spark):
     assert [(r["rank"], r["neighbor_id"]) for r in out] == [(1, 1), (2, 3)]
 
 
+def test_kmeans_train_int_converges(spark):
+    """Integer-space Lloyd's: total distortion is non-increasing across
+    rounds and clusters recover an obvious 2-cluster structure."""
+    from mysql_cdc_rs_spark.operators.similarity import kmeans_train_int
+
+    rows = []
+    for i in range(20):  # tight cluster around +1
+        rows.append((i, [1.0 + 0.001 * i] * 4))
+    for i in range(20, 40):  # tight cluster around -1
+        rows.append((i, [-1.0 - 0.001 * i] * 4))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    d1 = sum(r["dist"] for r in
+             kmeans_train_int(emb, dim=4, k=2, iters=1).collect())
+    out2 = kmeans_train_int(emb, dim=4, k=2, iters=2).collect()
+    d2 = sum(r["dist"] for r in out2)
+    assert d2 <= d1  # Lloyd's monotonicity
+    by_cluster = {}
+    for r in out2:
+        by_cluster.setdefault(r["cent_id"], set()).add(r["vec_id"])
+    # the two natural clusters separate perfectly after 2 rounds
+    assert sorted(len(v) for v in by_cluster.values()) == [20, 20]
+    assert {frozenset(v) for v in by_cluster.values()} == {
+        frozenset(range(20)), frozenset(range(20, 40))
+    }
+
+
 def test_multimodal_real_codecs_kernel():
     """PNG and WAV decode are REAL (pure stdlib): pixel-exact unfiltering
     for all five PNG filters, exact PCM stats for WAV."""
