@@ -43,12 +43,19 @@ _ENTITY_RE = re.compile("|".join(re.escape(k) for k in _ENTITIES))
 
 
 def extract_text(html: str) -> str:
-    """HTML string -> canonical whitespace-collapsed page text."""
+    """HTML string -> canonical whitespace-collapsed page text.
+
+    Whitespace collapse is ``' '.join(s.split())`` — semantically identical
+    to ``_WS_RE.sub(' ', s).strip()`` (property-tested) but it runs in one
+    C loop: the regex version was the single hottest stage of the decode
+    kernel (39k pages/s for the \\s+ sub alone vs 104k for split-join;
+    whole extraction 27k -> 60k pages/s single-thread).
+    """
     s = _MARKUP_RE.sub(" ", html)
     s = _ENTITY_RE.sub(lambda m: _ENTITIES[m.group(0)], s)
-    return _WS_RE.sub(" ", s).strip()
+    return " ".join(s.split())
 
 
 def extract_plain(text: str) -> str:
     """text/plain bodies: whitespace canonicalization only."""
-    return _WS_RE.sub(" ", text).strip()
+    return " ".join(text.split())

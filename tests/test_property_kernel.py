@@ -178,3 +178,102 @@ def test_pages_from_documents_text_formula(doc_id, text):
         assert expected == f"https://moved.example/{doc_id}"
     else:
         assert expected is None
+
+
+# --- multimodal codecs (PNG / WAV) -------------------------------------------
+
+@given(
+    st.integers(1, 6),
+    st.integers(1, 6),
+    st.sampled_from([0, 2, 6]),  # gray / RGB / RGBA
+    st.randoms(use_true_random=False),
+)
+@settings(max_examples=100)
+def test_png_roundtrip_property(w, h, color_type, rnd):
+    from mysql_cdc_rs_spark.operators import multimodal as MM
+
+    bpp = {0: 1, 2: 3, 6: 4}[color_type]
+    pixels = bytes(rnd.randrange(256) for _ in range(w * h * bpp))
+    for ft in (0, 1):
+        st_ = MM.decode_png(MM.encode_png(w, h, pixels, color_type, ft))
+        assert (st_["width"], st_["height"], st_["channels"]) == (w, h, bpp)
+        assert st_["pixel_sum"] == sum(pixels)
+
+
+@given(st.lists(st.integers(-32768, 32767), min_size=0, max_size=200))
+@settings(max_examples=100)
+def test_wav_roundtrip_property(samples):
+    from mysql_cdc_rs_spark.operators import multimodal as MM
+
+    st_ = MM.decode_wav(MM.encode_wav(samples))
+    assert st_["n_samples"] == len(samples)
+    assert st_["abs_sum"] == sum(abs(s) for s in samples)
+
+
+@given(st.binary(max_size=300))
+@settings(max_examples=200)
+def test_multimodal_decode_total(blob):
+    """decode_blob never raises on arbitrary bytes for any mime."""
+    from mysql_cdc_rs_spark.operators.multimodal import decode_blob
+
+    for mime in ("image/png", "audio/wav", "video/mp4"):
+        status, _, feat = decode_blob(blob, mime)
+        assert status in ("decoded", "decode_error", "fallback_hash")
+        assert feat is None or len(feat) == 8
+
+
+# --- geometry ----------------------------------------------------------------
+
+_coord = st.integers(-1000, 1000).map(float)
+_point = st.tuples(_coord, _coord).map(list)
+_ring = st.lists(_point, min_size=2, max_size=5)
+
+
+@given(
+    st.sampled_from(["Point", "LineString", "Polygon", "MultiPoint"]),
+    _point, _ring, st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=150)
+def test_geometry_roundtrip_property(kind, p, ring, srid):
+    from mysql_cdc_rs_spark.kernel.geometry import (
+        encode_geometry,
+        parse_mysql_geometry,
+    )
+
+    coords = {
+        "Point": p,
+        "LineString": ring,
+        "Polygon": [ring],
+        "MultiPoint": ring,
+    }[kind]
+    g = {"type": kind, "coordinates": coords, "srid": srid}
+    assert parse_mysql_geometry(encode_geometry(g)) == g
+
+
+# --- temporal2 / row codec -----------------------------------------------------
+
+@given(
+    st.integers(0, 838), st.integers(0, 59), st.integers(0, 59),
+    st.integers(0, 999999), st.integers(0, 6),
+)
+@settings(max_examples=200)
+def test_time2_roundtrip_property(h, mi, s, micros, fsp):
+    from mysql_cdc_rs_spark.kernel import row_decoder as R
+
+    buf = R.encode_row([(h, mi, s, micros)], [R.T_TIME2], [fsp])
+    (out,), pos = R.decode_row(buf, [R.T_TIME2], [fsp])
+    nbytes = (fsp + 1) // 2
+    unit = 100 ** (3 - nbytes) if nbytes else None
+    expect_us = 0 if nbytes == 0 else (micros // unit) * unit
+    assert out == (h, mi, s, expect_us)
+    assert pos == len(buf)
+
+
+@given(st.text(max_size=300))
+@settings(max_examples=300)
+def test_ws_collapse_equivalence(s):
+    """' '.join(s.split()) must equal the regex formula it replaced on the
+    hot path (and the DuckDB oracle's regexp_replace + trim twin)."""
+    import re
+
+    assert " ".join(s.split()) == re.sub(r"\s+", " ", s).strip()
