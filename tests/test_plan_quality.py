@@ -90,3 +90,38 @@ def test_bucketed_join_no_shuffle(spark, tmp_path_factory):
     assert joined.count() == plain
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
     spark.sql("DROP TABLE IF EXISTS b_orders")
+
+
+def test_row_decode_queries_single_python_node(spark):
+    """p3/p8/c8/c10/mm/p4: exactly one Python (mapInPandas) node each and
+    the event_id prefilter reaches the parquet scan as a pushed filter."""
+    from mysql_cdc_rs_spark.queries import QUERIES
+
+    for name, pushed in [
+        ("p3_row_decode", "LessThan(event_id,5000)"),
+        ("p8_enum_label_join", "LessThan(event_id,3000)"),
+        ("c8_time2_roundtrip", "LessThan(event_id,4000)"),
+        ("c10_timestamp2_roundtrip", "LessThan(event_id,4000)"),
+        ("p4_deflate_roundtrip", "LessThan(doc_id,400)"),
+        ("mm_decode_stats", "LessThan(doc_id,300)"),
+    ]:
+        plan = _formatted(spark, QUERIES[name](spark, SF))
+        assert plan.count("MapInPandas") == 2, f"{name}: != 1 python node"
+        assert pushed.replace(" ", "") in plan.replace(" ", ""), (
+            f"{name}: filter not pushed"
+        )
+
+
+def test_enum_label_dim_is_broadcast(spark):
+    from mysql_cdc_rs_spark.queries import QUERIES
+
+    plan = _formatted(spark, QUERIES["p8_enum_label_join"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_neardup_single_embeddings_scan(spark):
+    from mysql_cdc_rs_spark.queries import QUERIES
+
+    plan = _formatted(spark, QUERIES["emb_neardup_pairs"](spark, SF))
+    assert plan.count("embeddings.parquet") == 1
