@@ -1605,6 +1605,218 @@ def _p8_labels(spark, sf):
     )
 
 
+_CS_HASH = "(('0x' || substr(md5('cs:' || doc_id), 1, 15))::BIGINT)"
+
+
+@q(
+    "a7_charset_stats",
+    f"""
+    SELECT {EVENT_TYPE_SQL} AS event_type,
+           CASE WHEN ({CLS_SQL}) < 70
+                  THEN ['utf-8','latin-1','gbk'][({_CS_HASH} % 3) + 1]
+                WHEN ({CLS_SQL}) < 80 THEN 'utf-8' END AS charset,
+           CASE WHEN ({CLS_SQL}) < 80 THEN 'header' END AS charset_source,
+           count(*) AS n
+    FROM documents GROUP BY 1, 2, 3 ORDER BY 1, 2
+    """,
+)
+def _a7(spark, sf):
+    """A7/C16: column-parser charset statistics — the REAL decode runs over
+    every page and the per-(event_type, charset, source) census must equal
+    the generator-formula oracle (charset distribution analog of the
+    reference's per-column parser stats, column_parser.rs)."""
+    pages = pages_from_documents(spark, sf)
+    return (
+        decode_pages(pages)
+        .groupBy("event_type", "charset", "charset_source")
+        .agg(F.count("*").alias("n"))
+        .orderBy("event_type", "charset")
+    )
+
+
+@q(
+    "f7_ddl_parse",
+    """
+    SELECT event_id,
+           'db' || CAST(user_id % 5 AS VARCHAR) AS schema_name,
+           't_' || CAST(user_id AS VARCHAR) AS table_name,
+           3 AS n_cols,
+           CAST(10 + event_id % 90 AS INT) AS name_len,
+           'id' AS pk
+    FROM events
+    WHERE event_type = 'signup' AND event_id < 6000
+    ORDER BY event_id
+    """,
+)
+def _f7(spark, sf):
+    """P7/J2: DDL AST parse on executors — CREATE TABLE statements are
+    synthesized per signup event, parsed by the kernel's prefilter->parse
+    pipeline (kernel/ddl.py; parity /root/reference/binlog/src/column/
+    parse_ddl.rs), and the extracted (schema, table, columns, varchar arg,
+    pk) must equal the arithmetic oracle.  Non-DDL statements are
+    prefiltered without parsing (the reference's cost dodge)."""
+    import pandas as pd
+
+    from mysql_cdc_rs_spark.kernel.ddl import parse_create_table
+
+    ev = load(spark, sf, "events").filter(
+        (F.col("event_type") == "signup") & (F.col("event_id") < 6000)
+    ).select("event_id", "user_id")
+
+    def rt(batches):
+        for pdf in batches:
+            out = []
+            for eid, uid in zip(pdf["event_id"], pdf["user_id"]):
+                eid, uid = int(eid), int(uid)
+                stmt = (
+                    f"CREATE TABLE db{uid % 5}.t_{uid} ("
+                    f"id INT NOT NULL, "
+                    f"name VARCHAR({10 + eid % 90}), "
+                    f"val DECIMAL(12,2), "
+                    f"PRIMARY KEY (id))"
+                )
+                info = parse_create_table(stmt)
+                assert parse_create_table("SELECT 1") is None  # prefilter
+                name_col = next(c for c in info.columns if c.name == "name")
+                out.append((
+                    eid, info.schema, info.table, len(info.columns),
+                    name_col.type_args[0], ",".join(info.primary_key),
+                ))
+            yield pd.DataFrame(out, columns=[
+                "event_id", "schema_name", "table_name", "n_cols",
+                "name_len", "pk",
+            ])
+
+    return ev.mapInPandas(
+        rt,
+        schema="event_id long, schema_name string, table_name string, "
+               "n_cols int, name_len int, pk string",
+    ).orderBy("event_id")
+
+
+@q(
+    "d3_partial_diff",
+    r"""
+    WITH seq AS (
+      SELECT event_id, event_type,
+             regexp_extract(props, '"k": (\d+)', 1) AS k,
+             lag(event_type) OVER w AS p_et,
+             lag(regexp_extract(props, '"k": (\d+)', 1)) OVER w AS p_k
+      FROM events WHERE event_id < 5000
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_id,
+           concat_ws(',',
+             CASE WHEN event_type <> p_et THEN 'event_type' END,
+             CASE WHEN k <> p_k THEN 'k' END) AS changed_keys,
+           concat_ws(',',
+             CASE WHEN event_type <> p_et THEN event_type END,
+             CASE WHEN k <> p_k THEN k END) AS changed_vals
+    FROM seq WHERE p_et IS NOT NULL
+    ORDER BY event_id
+    """,
+)
+def _d3(spark, sf):
+    """D3: partial-column diff — the sparse update map RESTRICTED to a
+    declared column subset (operators/diff.py::partial_update; parity
+    update image semantics, row/parser.rs before/after images).  Output is
+    the map flattened in sorted-key order so the comparison is
+    deterministic."""
+    from mysql_cdc_rs_spark.operators.diff import partial_update
+
+    ev = load(spark, sf, "events").filter(F.col("event_id") < 5000)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    k = F.regexp_extract("props", r'"k": (\d+)', 1)
+    fields = ["event_type", "k", "day"]
+    after = F.struct(
+        F.col("event_type").alias("event_type"), k.alias("k"),
+        F.dayofmonth("ts").cast("string").alias("day"),
+    )
+    cur = ev.withColumn("after", after).withColumn(
+        "before", F.lag("after").over(w)
+    ).filter(F.col("before").isNotNull())
+    m = partial_update(
+        F.col("before"), F.col("after"), fields, included=["event_type", "k"]
+    )
+    keys = F.array_sort(F.map_keys(m))
+    return cur.select(
+        "event_id",
+        F.concat_ws(",", keys).alias("changed_keys"),
+        F.concat_ws(
+            ",", F.transform(keys, lambda key: F.element_at(m, key))
+        ).alias("changed_vals"),
+    ).orderBy("event_id")
+
+
+@q(
+    "s4_frame_split",
+    """
+    WITH chunks AS (SELECT doc_id AS chunk_id FROM documents WHERE doc_id < 200)
+    SELECT chunk_id,
+           CAST(CASE WHEN chunk_id % 7 = 0 THEN 4 ELSE 5 END AS INT)
+             AS n_records,
+           CASE WHEN chunk_id % 7 = 0 THEN 'TRUNCATED_TAIL' END AS frame_error,
+           md5(CASE WHEN chunk_id % 7 = 0
+                 THEN 'c' || chunk_id || 'r0' || 'c' || chunk_id || 'r1'
+                   || 'c' || chunk_id || 'r2' || 'c' || chunk_id || 'r3'
+                 ELSE 'c' || chunk_id || 'r0' || 'c' || chunk_id || 'r1'
+                   || 'c' || chunk_id || 'r2' || 'c' || chunk_id || 'r3'
+                   || 'c' || chunk_id || 'r4' END) AS bodies_md5
+    FROM chunks ORDER BY chunk_id
+    """,
+)
+def _s4(spark, sf):
+    """S3/S4: frame splitter with remainder semantics — packed multi-record
+    chunks (every 7th truncated mid-record) split on executors by the
+    kernel splitter; good-record count, error code and the md5 of the
+    recovered bodies must equal the arithmetic oracle (parity:
+    bytes_binlog_reader.rs UnexpectedEof handling)."""
+    import hashlib
+
+    import pandas as pd
+
+    from mysql_cdc_rs_spark.sources.framing import pack_records, split_records
+
+    docs = load(spark, sf, "documents").filter(F.col("doc_id") < 200).select(
+        "doc_id"
+    )
+
+    def rt(batches):
+        for pdf in batches:
+            out = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                recs = []
+                for i in range(5):
+                    body = f"c{did}r{i}".encode()
+                    head = (
+                        "HTTP/1.1 200 OK\r\n"
+                        "Content-Type: text/plain; charset=utf-8\r\n"
+                        f"Content-Length: {len(body)}\r\n\r\n"
+                    ).encode()
+                    recs.append(head + body)
+                blob = pack_records(recs)
+                if did % 7 == 0:
+                    blob = blob[:-3]  # cut into the last record's body
+                good, err = split_records(blob)
+                bodies = b"".join(
+                    r.split(b"\r\n\r\n", 1)[1] for r in good
+                )
+                out.append((
+                    did, len(good), err,
+                    hashlib.md5(bodies).hexdigest(),
+                ))
+            yield pd.DataFrame(out, columns=[
+                "chunk_id", "n_records", "frame_error", "bodies_md5",
+            ])
+
+    return docs.mapInPandas(
+        rt,
+        schema="chunk_id long, n_records int, frame_error string, "
+               "bodies_md5 string",
+    ).orderBy("chunk_id")
+
+
 @q(
     "r4_strategy_dispatch",
     """
