@@ -66,6 +66,10 @@ BENCH_QUERIES = [
     "ann_lsh_topk",
     "pipeline_event_type_counts",
     "pipeline_text_md5",
+    "p3_row_decode",
+    "mm_decode_stats",
+    "ivf_kmeans_train",
+    "emb_neardup_pairs",
 ]
 
 

@@ -80,13 +80,20 @@ def ship_package(spark: SparkSession) -> None:
     import tempfile
 
     pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    zip_path = shutil.make_archive(
-        os.path.join(tempfile.gettempdir(), "mysql_cdc_rs_spark_pkg"),
-        "zip",
-        root_dir=pkg_root,
-        base_dir="mysql_cdc_rs_spark",
-    )
-    sc.addPyFile(zip_path)
+    if os.path.isdir(pkg_root):
+        zip_path = shutil.make_archive(
+            os.path.join(tempfile.gettempdir(), "mysql_cdc_rs_spark_pkg"),
+            "zip",
+            root_dir=pkg_root,
+            base_dir="mysql_cdc_rs_spark",
+        )
+        sc.addPyFile(zip_path)
+    elif os.path.isfile(pkg_root) and pkg_root.endswith(".zip"):
+        # running FROM a zip (spark-submit --py-files engine.zip): executors
+        # already receive that zip via --py-files; re-adding the same
+        # archive is enough, re-zipping a zip member path would crash.
+        sc.addPyFile(pkg_root)
+    # else: installed as a wheel/egg-dir the workers share — nothing to ship
     _SHIPPED.add(sc.applicationId)
 
 

@@ -158,3 +158,42 @@ def test_training_curation_stages(spark):
     # survivors are unique docs and all meet the quality bar
     surv = curate(pages, min_tokens=20)
     assert surv.count() == surv.select("doc_id").distinct().count() == rep["survivors"]
+
+
+def test_spark_submit_py_files_runs():
+    """The north rule's exact invocation shape: spark-submit --py-files
+    engine.zip — the package must ship itself correctly when imported FROM
+    the zip (regression: ship_package crashed re-zipping a zip member)."""
+    import json
+    import os
+    import shutil
+    import subprocess
+    import tempfile
+    import zipfile
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with tempfile.TemporaryDirectory() as tmp:
+        zpath = f"{tmp}/engine.zip"
+        with zipfile.ZipFile(zpath, "w") as z:
+            pkg = os.path.join(repo, "mysql_cdc_rs_spark")
+            for root, _, files in os.walk(pkg):
+                for fn in files:
+                    if fn.endswith(".py"):
+                        full = os.path.join(root, fn)
+                        z.write(full, os.path.relpath(full, repo))
+        spark_submit = shutil.which("spark-submit")
+        if spark_submit is None:
+            import pytest
+
+            pytest.skip("spark-submit not on PATH")
+        out = subprocess.run(
+            [spark_submit, "--master", "local[4]", "--py-files", zpath,
+             f"{repo}/scripts/run_pipeline.py",
+             "--pages", f"{tmp}/pages", "--sink", f"{tmp}/sink",
+             "--synthesize", "500"],
+            cwd=tmp, capture_output=True, text=True, timeout=300,
+        )
+        assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-2000:]
+        res = json.loads(out.stdout.strip().splitlines()[-1])
+        assert res["total"] == 500
+        assert sum(res["route_counts"].values()) == 500
