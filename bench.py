@@ -227,6 +227,37 @@ def main() -> None:
             "over memory-cached pages",
         }
 
+        # independent-session N -> 4N (the brief's literal shape): the SAME
+        # job (scan -> decode -> enrich -> route aggregate, uncached parquet)
+        # in separate sessions at local[2] and local[8].  2 and 8 threads
+        # (x2 for python workers) stay clear of neighbor load on this
+        # shared 32-core host, unlike 8 vs 32 which oversubscribes.
+        sess: dict = {}
+        for n in (2, 8):
+            s = build(f"local[{n}]")
+            pages = s.read.parquet(SCALING_PARQUET)
+
+            from mysql_cdc_rs_spark.operators.decode import decode_pages as _dp
+            from mysql_cdc_rs_spark.operators.enrich import enrich as _en
+
+            def _run() -> float:
+                t0 = time.monotonic()
+                _en(_dp(pages)).groupBy("route").agg(
+                    F.count("*").alias("n")
+                ).collect()
+                return time.monotonic() - t0
+
+            _run()  # warm (codegen + python workers + page cache)
+            best_t = min(_run() for _ in range(2))
+            sess[f"local[{n}]"] = {
+                "sec": round(best_t, 3),
+                "pages_per_sec": round(SCALING_N / best_t, 1),
+            }
+            s.stop()
+        t2, t8 = sess["local[2]"]["sec"], sess["local[8]"]["sec"]
+        sess["efficiency_N_to_4N"] = round((t2 / t8) / 4.0, 3)
+        result["scaling_sessions"] = sess
+
         # secondary: full pipeline (uncached, incl. sink write) at 8 vs 32
         full: dict = {}
         for n in (8, 32):
@@ -290,6 +321,28 @@ def _write_bench_md(r: dict) -> None:
             " bandwidth and scan CPU with the fleet, which one box cannot.",
             "",
         ]
+        ss = r.get("scaling_sessions")
+        if ss:
+            lines += [
+                "## Independent-session N -> 4N (the brief's literal shape)",
+                "",
+                "Same job (scan -> decode -> enrich -> route aggregate, "
+                f"uncached parquet, {r.get('n_pages', '')} input prepared at "
+                "SCALING_N rows) in SEPARATE sessions:",
+                "",
+                "| level | sec | pages/sec |",
+                "|---|---|---|",
+                f"| N = local[2] | {ss['local[2]']['sec']} | "
+                f"{ss['local[2]']['pages_per_sec']} |",
+                f"| 4N = local[8] | {ss['local[8]']['sec']} | "
+                f"{ss['local[8]']['pages_per_sec']} |",
+                "",
+                f"**Independent-session efficiency (N -> 4N) = "
+                f"{ss['efficiency_N_to_4N']}** — 2/8 threads (x2 with python "
+                "workers) stay clear of neighbor load, unlike 8 vs 32 which "
+                "oversubscribes this shared 32-core host.",
+                "",
+            ]
         kc = r.get("kernel_per_core")
         if kc:
             lines += [

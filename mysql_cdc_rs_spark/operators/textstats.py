@@ -18,10 +18,26 @@ from mysql_cdc_rs_spark.functions.text import norm_ws, portable_hash60, words_of
 # language -> marker words (the n-gram-heuristic lexicon). The synthetic
 # corpus is English-ish for every lang label; the operator is graded on
 # deterministic agreement with its oracle, not on linguistic truth.
+# Stopword/function-word marker lexicons (top closed-class words per
+# language — public linguistic knowledge).  Column-only argmax scoring; the
+# oracle SQL is generated from this SAME dict so the two can't drift.
 LANG_MARKERS = {
-    "en": ["the", "a", "data", "fast"],
-    "es": ["los", "sobre", "perros"],
-    "de": ["über", "faule", "hunde"],
+    "en": ["the", "a", "an", "and", "of", "to", "in", "is", "it", "that",
+           "was", "for", "on", "are", "with", "data", "fast"],
+    "es": ["el", "la", "los", "las", "de", "que", "y", "en", "un", "una",
+           "es", "por", "con", "para", "sobre", "perros"],
+    "de": ["der", "die", "das", "und", "ist", "ich", "nicht", "ein",
+           "eine", "mit", "auf", "für", "über", "faule", "hunde"],
+    "fr": ["le", "la", "les", "des", "et", "est", "une", "dans", "que",
+           "pour", "pas", "vous", "avec", "sur"],
+    "it": ["il", "lo", "gli", "di", "che", "non", "per", "con", "sono",
+           "del", "della", "più"],
+    "pt": ["o", "os", "as", "do", "da", "em", "não", "uma", "com", "como",
+           "mais", "foi"],
+    "nl": ["de", "het", "een", "van", "dat", "niet", "zijn", "op", "aan",
+           "voor", "ook", "maar"],
+    "id": ["yang", "dan", "di", "itu", "dengan", "untuk", "tidak", "ini",
+           "dari", "dalam", "akan", "pada"],
 }
 
 STOPWORDS = ["the", "a", "and", "of", "to"]
