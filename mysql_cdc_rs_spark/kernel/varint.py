@@ -35,6 +35,25 @@ def read_len_enc_num(buf: bytes, pos: int = 0) -> tuple[int | None, int]:
     raise ValueError(f"invalid length-encoded int prefix 0x{first:02x}")
 
 
+def write_len_enc_num(n: int | None) -> bytes:
+    """Inverse of read_len_enc_num (fixture/sink encoding)."""
+    if n is None:
+        return bytes([NULL_MARKER])
+    if n < 0xFB:
+        return bytes([n])
+    if n < 1 << 16:
+        return b"\xfc" + n.to_bytes(2, "little")
+    if n < 1 << 24:
+        return b"\xfd" + n.to_bytes(3, "little")
+    return b"\xfe" + n.to_bytes(8, "little")
+
+
+def write_len_enc_string(s: bytes | None) -> bytes:
+    if s is None:
+        return bytes([NULL_MARKER])
+    return write_len_enc_num(len(s)) + s
+
+
 def read_len_enc_string(buf: bytes, pos: int = 0) -> tuple[bytes | None, int]:
     n, pos = read_len_enc_num(buf, pos)
     if n is None:

@@ -1605,6 +1605,135 @@ def _p8_labels(spark, sf):
     )
 
 
+@q(
+    "c1_wire_primitives",
+    """
+    SELECT event_id,
+           event_id AS id_rt,
+           props AS props_rt,
+           CAST(bit_count(event_id % 256) AS INT) AS bit_ones,
+           'B' || CAST(user_id AS VARCHAR) AS blob_rt
+    FROM events WHERE event_id < 5000 ORDER BY event_id
+    """,
+)
+def _c1(spark, sf):
+    """C1-C5: the wire primitives in one concatenated buffer per event —
+    length-encoded int (3 width classes as event_id grows), len-enc
+    string, big-endian BIT cell, length-prefixed BLOB — written and read
+    back by the kernel codecs on executors (parity:
+    /root/reference/binlog/src/utils.rs read_len_enc_num & friends)."""
+    import pandas as pd
+
+    from mysql_cdc_rs_spark.kernel import varint as V
+
+    ev = load(spark, sf, "events").filter(F.col("event_id") < 5000).select(
+        "event_id", "user_id", "props"
+    )
+
+    def rt(batches):
+        for pdf in batches:
+            out = []
+            for eid, uid, props in zip(
+                pdf["event_id"], pdf["user_id"], pdf["props"]
+            ):
+                eid, uid = int(eid), int(uid)
+                blob = f"B{uid}".encode()
+                buf = (
+                    V.write_len_enc_num(eid)
+                    + V.write_len_enc_string(props.encode())
+                    + (eid % 256).to_bytes(1, "big")           # BIT(8)
+                    + len(blob).to_bytes(2, "little") + blob   # BLOB w=2
+                )
+                id_rt, pos = V.read_len_enc_num(buf, 0)
+                s_rt, pos = V.read_len_enc_string(buf, pos)
+                bits, pos = V.parse_bit(buf, pos, 8)
+                blob_rt, pos = V.parse_blob(buf, pos, 2)
+                assert pos == len(buf)
+                out.append((
+                    eid, id_rt, s_rt.decode(), sum(bits),
+                    blob_rt.decode(),
+                ))
+            yield pd.DataFrame(out, columns=[
+                "event_id", "id_rt", "props_rt", "bit_ones", "blob_rt",
+            ])
+
+    return ev.mapInPandas(
+        rt,
+        schema="event_id long, id_rt long, props_rt string, bit_ones int, "
+               "blob_rt string",
+    ).orderBy("event_id")
+
+
+@q(
+    "s7_relay_segments",
+    """
+    WITH c AS (SELECT doc_id AS chunk_id FROM documents WHERE doc_id < 200)
+    SELECT chunk_id,
+           CAST(CASE WHEN chunk_id % 9 = 0 THEN 2 ELSE 3 END AS INT)
+             AS n_good,
+           CAST(CASE WHEN chunk_id % 9 = 0 THEN 1 ELSE 0 END AS INT)
+             AS n_crc_errors,
+           md5(CASE WHEN chunk_id % 9 = 0
+                 THEN 'p' || chunk_id || ':0' || 'p' || chunk_id || ':2'
+                 ELSE 'p' || chunk_id || ':0' || 'p' || chunk_id || ':1'
+                   || 'p' || chunk_id || ':2' END) AS payload_md5
+    FROM c ORDER BY chunk_id
+    """,
+)
+def _s7(spark, sf):
+    """S7/F6: relay-log segment record codec (u32 len + CRC32 + payload) —
+    segments are encoded and decoded on executors; every 9th segment has
+    its middle record's payload corrupted, which MUST surface as a
+    CRC_MISMATCH error row (never a crash) while the surrounding records
+    still decode (parity: the reference's relay_log segment framing +
+    checksum verify)."""
+    import hashlib
+
+    import pandas as pd
+
+    from mysql_cdc_rs_spark.sources.relay_segments import (
+        decode_records,
+        encode_record,
+    )
+
+    docs = load(spark, sf, "documents").filter(F.col("doc_id") < 200).select(
+        "doc_id"
+    )
+
+    def rt(batches):
+        for pdf in batches:
+            out = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                recs = [encode_record(f"p{did}:{i}".encode())
+                        for i in range(3)]
+                if did % 9 == 0:
+                    # corrupt record 1's payload (CRC must catch it)
+                    r = bytearray(recs[1])
+                    r[-1] ^= 0xFF
+                    recs[1] = bytes(r)
+                buf = b"".join(recs)
+                good, errs = [], 0
+                for payload, err in decode_records(buf):
+                    if err is not None:
+                        errs += 1
+                    else:
+                        good.append(payload)
+                out.append((
+                    did, len(good), errs,
+                    hashlib.md5(b"".join(good)).hexdigest(),
+                ))
+            yield pd.DataFrame(out, columns=[
+                "chunk_id", "n_good", "n_crc_errors", "payload_md5",
+            ])
+
+    return docs.mapInPandas(
+        rt,
+        schema="chunk_id long, n_good int, n_crc_errors int, "
+               "payload_md5 string",
+    ).orderBy("chunk_id")
+
+
 _CS_HASH = "(('0x' || substr(md5('cs:' || doc_id), 1, 15))::BIGINT)"
 
 
