@@ -250,15 +250,29 @@ def kmeans_train_int(
     ]
     assigned = None
     for it in range(iters):
-        best_c = F.lit(cents[0][0])
-        best_d = _int_dist(F.col("ei"), cents[0][1])
-        for cid, c in cents[1:]:
-            d = _int_dist(F.col("ei"), c)
-            best_c = F.when(d < best_d, F.lit(cid)).otherwise(best_c)
-            best_d = F.when(d < best_d, d).otherwise(best_d)
-        assigned = e6.select(
+        # ONE expression: distances via transform over the literal centroid
+        # matrix (each 64-term fold evaluated exactly once), then an argmin
+        # fold over the k (id, dist) structs.  A when-chain over separate
+        # fold expressions re-evaluates every distance 2-3x after projection
+        # collapse — measured 5x slower.
+        ids_sql = "array(" + ",".join(str(cid) + "L" for cid, _ in cents) + ")"
+        cent_sql = "array(" + ",".join(
+            "array(" + ",".join(f"{v}L" for v in c) + ")" for _, c in cents
+        ) + ")"
+        best = F.expr(
+            "aggregate("
+            f"  zip_with({ids_sql}, transform({cent_sql}, c -> "
+            "     aggregate(zip_with(ei, c, (a, b) -> (a - b) * (a - b)), "
+            "               0L, (acc, v) -> acc + v)), "
+            "    (i, d) -> struct(i AS cid, d AS dist)), "
+            "  CAST(NULL AS struct<cid:bigint, dist:bigint>), "
+            "  (best, x) -> CASE WHEN best IS NULL OR x.dist < best.dist "
+            "               THEN x ELSE best END)"
+        )
+        assigned = e6.select("vec_id", "ei", best.alias("b")).select(
             "vec_id", "ei",
-            best_c.alias("cent_id"), best_d.alias("dist"),
+            F.col("b.cid").cast("int").alias("cent_id"),
+            F.col("b.dist").alias("dist"),
         )
         if it == iters - 1:
             break
