@@ -232,13 +232,12 @@ def main() -> None:
         # in separate sessions at local[2] and local[8].  2 and 8 threads
         # (x2 for python workers) stay clear of neighbor load on this
         # shared 32-core host, unlike 8 vs 32 which oversubscribes.
-        sess: dict = {}
-        for n in (2, 8):
+        from mysql_cdc_rs_spark.operators.decode import decode_pages as _dp
+        from mysql_cdc_rs_spark.operators.enrich import enrich as _en
+
+        def _session_leg(n: int) -> float:
             s = build(f"local[{n}]")
             pages = s.read.parquet(SCALING_PARQUET)
-
-            from mysql_cdc_rs_spark.operators.decode import decode_pages as _dp
-            from mysql_cdc_rs_spark.operators.enrich import enrich as _en
 
             def _run() -> float:
                 t0 = time.monotonic()
@@ -249,13 +248,33 @@ def main() -> None:
 
             _run()  # warm (codegen + python workers + page cache)
             best_t = min(_run() for _ in range(2))
-            sess[f"local[{n}]"] = {
-                "sec": round(best_t, 3),
-                "pages_per_sec": round(SCALING_N / best_t, 1),
-            }
             s.stop()
-        t2, t8 = sess["local[2]"]["sec"], sess["local[8]"]["sec"]
-        sess["efficiency_N_to_4N"] = round((t2 / t8) / 4.0, 3)
+            return best_t
+
+        # two full rounds; quietest (least normalized work-time) reported,
+        # all rounds published — same noise discipline as the paired proto
+        srounds = []
+        for _ in range(2):
+            t2 = _session_leg(2)
+            t8 = _session_leg(8)
+            srounds.append({
+                "local2_sec": round(t2, 3),
+                "local8_sec": round(t8, 3),
+                "efficiency": round((t2 / t8) / 4.0, 3),
+            })
+        sbest = min(srounds, key=lambda r: r["local2_sec"] + 4 * r["local8_sec"])
+        sess = {
+            "rounds": srounds,
+            "local[2]": {
+                "sec": sbest["local2_sec"],
+                "pages_per_sec": round(SCALING_N / sbest["local2_sec"], 1),
+            },
+            "local[8]": {
+                "sec": sbest["local8_sec"],
+                "pages_per_sec": round(SCALING_N / sbest["local8_sec"], 1),
+            },
+            "efficiency_N_to_4N": sbest["efficiency"],
+        }
         result["scaling_sessions"] = sess
 
         # secondary: full pipeline (uncached, incl. sink write) at 8 vs 32
@@ -338,9 +357,12 @@ def _write_bench_md(r: dict) -> None:
                 f"{ss['local[8]']['pages_per_sec']} |",
                 "",
                 f"**Independent-session efficiency (N -> 4N) = "
-                f"{ss['efficiency_N_to_4N']}** — 2/8 threads (x2 with python "
-                "workers) stay clear of neighbor load, unlike 8 vs 32 which "
-                "oversubscribes this shared 32-core host.",
+                f"{ss['efficiency_N_to_4N']}** (quietest of "
+                f"{len(ss.get('rounds', []))} rounds; per-round: "
+                + ", ".join(str(x["efficiency"]) for x in ss.get("rounds", []))
+                + ") — 2/8 threads (x2 with python workers) stay clear of "
+                "neighbor load, unlike 8 vs 32 which oversubscribes this "
+                "shared 32-core host.",
                 "",
             ]
         kc = r.get("kernel_per_core")
