@@ -224,6 +224,34 @@ def _int_dist(ei_col, cent: list[int]):
     )
 
 
+def kmeans_centroids_int(
+    corpus: DataFrame, dim: int, k: int = 8, rounds: int = 1
+) -> list[tuple[int, list[int]]]:
+    """The trained coarse-quantizer codebook: init at the k lowest vec_ids,
+    then ``rounds`` exact-integer Lloyd's updates.  Returns
+    [(cent_id, e6_ints)] — driver-held k*dim ints, broadcast-sized."""
+    e6 = _int_embeddings(corpus)
+    cents = [
+        (int(r["vec_id"]), list(r["ei"]))
+        for r in e6.orderBy("vec_id").limit(k).collect()
+    ]
+    for _ in range(rounds):
+        assigned = _assign_int(e6, cents)
+        means = assigned.groupBy("cent_id").agg(
+            *[
+                F.floor(
+                    F.sum(F.element_at("ei", d + 1)) / F.count("*")
+                ).cast("long").alias(f"m{d}")
+                for d in range(dim)
+            ]
+        )
+        cents = sorted(
+            (int(r["cent_id"]), [int(r[f"m{d}"]) for d in range(dim)])
+            for r in means.collect()
+        )
+    return cents
+
+
 def kmeans_train_int(
     corpus: DataFrame, dim: int, k: int = 8, iters: int = 2
 ) -> DataFrame:
@@ -244,51 +272,36 @@ def kmeans_train_int(
     ``iters`` assignment rounds.
     """
     e6 = _int_embeddings(corpus)
-    cents = [
-        (int(r["vec_id"]), list(r["ei"]))
-        for r in e6.orderBy("vec_id").limit(k).collect()
-    ]
-    assigned = None
-    for it in range(iters):
-        # ONE expression: distances via transform over the literal centroid
-        # matrix (each 64-term fold evaluated exactly once), then an argmin
-        # fold over the k (id, dist) structs.  A when-chain over separate
-        # fold expressions re-evaluates every distance 2-3x after projection
-        # collapse — measured 5x slower.
-        ids_sql = "array(" + ",".join(str(cid) + "L" for cid, _ in cents) + ")"
-        cent_sql = "array(" + ",".join(
-            "array(" + ",".join(f"{v}L" for v in c) + ")" for _, c in cents
-        ) + ")"
-        best = F.expr(
-            "aggregate("
-            f"  zip_with({ids_sql}, transform({cent_sql}, c -> "
-            "     aggregate(zip_with(ei, c, (a, b) -> (a - b) * (a - b)), "
-            "               0L, (acc, v) -> acc + v)), "
-            "    (i, d) -> struct(i AS cid, d AS dist)), "
-            "  CAST(NULL AS struct<cid:bigint, dist:bigint>), "
-            "  (best, x) -> CASE WHEN best IS NULL OR x.dist < best.dist "
-            "               THEN x ELSE best END)"
-        )
-        assigned = e6.select("vec_id", "ei", best.alias("b")).select(
-            "vec_id", "ei",
-            F.col("b.cid").cast("int").alias("cent_id"),
-            F.col("b.dist").alias("dist"),
-        )
-        if it == iters - 1:
-            break
-        means = assigned.groupBy("cent_id").agg(
-            *[
-                F.floor(
-                    F.sum(F.element_at("ei", d + 1)) / F.count("*")
-                ).cast("long").alias(f"m{d}")
-                for d in range(dim)
-            ]
-        )
-        cents = sorted(
-            (int(r["cent_id"]), [int(r[f"m{d}"]) for d in range(dim)])
-            for r in means.collect()
-        )
-    return assigned.select("vec_id", "cent_id", "dist")
+    cents = kmeans_centroids_int(corpus, dim, k, rounds=iters - 1)
+    return _assign_int(e6, cents).select("vec_id", "cent_id", "dist")
+
+
+def _assign_int(e6: DataFrame, cents: list[tuple[int, list[int]]]) -> DataFrame:
+    """Assign each e6 vector to its min-squared-L2 centroid (ties -> lowest
+    cent_id).  ONE expression: distances via transform over the literal
+    centroid matrix (each fold evaluated exactly once), then an argmin fold
+    over the k (id, dist) structs.  A when-chain over separate fold
+    expressions re-evaluates every distance 2-3x after projection collapse
+    — measured 5x slower."""
+    ids_sql = "array(" + ",".join(str(cid) + "L" for cid, _ in cents) + ")"
+    cent_sql = "array(" + ",".join(
+        "array(" + ",".join(f"{v}L" for v in c) + ")" for _, c in cents
+    ) + ")"
+    best = F.expr(
+        "aggregate("
+        f"  zip_with({ids_sql}, transform({cent_sql}, c -> "
+        "     aggregate(zip_with(ei, c, (a, b) -> (a - b) * (a - b)), "
+        "               0L, (acc, v) -> acc + v)), "
+        "    (i, d) -> struct(i AS cid, d AS dist)), "
+        "  CAST(NULL AS struct<cid:bigint, dist:bigint>), "
+        "  (best, x) -> CASE WHEN best IS NULL OR x.dist < best.dist "
+        "               THEN x ELSE best END)"
+    )
+    return e6.select("vec_id", "ei", best.alias("b")).select(
+        "vec_id", "ei",
+        F.col("b.cid").cast("int").alias("cent_id"),
+        F.col("b.dist").alias("dist"),
+    )
 
 def ivf_assign(corpus: DataFrame, centroids: DataFrame) -> DataFrame:
     """Assign every vector to its max-cosine centroid (coarse quantizer).

@@ -1217,6 +1217,85 @@ def _kmeans_oracle(k: int = 8, iters: int = 2, dim: int = 64) -> str:
     return sql
 
 
+def _ivf_trained_oracle(k: int = 8, dim: int = 64, topk: int = 5) -> str:
+    """Trained-quantizer IVF search: the kmeans CTEs produce the codebook
+    (1 integer Lloyd's round), converted to doubles; cells assign by max
+    cosine and queries probe their own cell (nprobe=1)."""
+    dist = (
+        "CAST(list_sum(list_transform(range(1, {n}), i -> "
+        "({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))) AS BIGINT)"
+    )
+    d0 = dist.format(a="e.ei", b="c.c", n=dim + 1)
+    return f"""
+    WITH e6 AS (
+      SELECT vec_id, list_transform(embedding, x ->
+        CAST(floor(x::DOUBLE * 1000000 + 0.5) AS BIGINT)) AS ei
+      FROM embeddings
+    ),
+    c0 AS (SELECT vec_id AS cent_id, ei AS c FROM e6 WHERE vec_id < {k}),
+    dims AS (SELECT unnest(range(1, {dim + 1})) AS d),
+    a1 AS (
+      SELECT vec_id, ei, cent_id FROM (
+        SELECT e.vec_id, e.ei, c.cent_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {d0} ASC, c.cent_id ASC) AS r
+        FROM e6 e CROSS JOIN c0 c
+      ) WHERE r = 1
+    ),
+    s1 AS (
+      SELECT cent_id, d,
+             CAST(floor(sum(ei[d])::DOUBLE / count(*)) AS BIGINT) AS m
+      FROM a1 CROSS JOIN dims GROUP BY cent_id, d
+    ),
+    cf AS (
+      SELECT cent_id, list_transform(list(m ORDER BY d),
+                                     v -> v::DOUBLE / 1000000.0) AS cemb
+      FROM s1 GROUP BY cent_id
+    ),
+    assigned AS (
+      SELECT vec_id, embedding, cent_id FROM (
+        SELECT e.vec_id, e.embedding, c.cent_id,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_cos_sql('e.embedding', 'c.cemb', dim)} DESC,
+                          c.cent_id ASC) AS r
+        FROM embeddings e CROSS JOIN cf c
+      ) WHERE r = 1
+    ),
+    q AS (SELECT vec_id AS query_id, embedding AS q_emb, cent_id
+          FROM assigned WHERE vec_id < 10),
+    scored AS (
+      SELECT q.query_id, a.vec_id,
+             {_cos_sql('q.q_emb', 'a.embedding', dim)} AS sim
+      FROM assigned a JOIN q ON a.cent_id = q.cent_id
+      WHERE a.vec_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT query_id, vec_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, vec_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, rank, vec_id AS neighbor_id
+    FROM ranked WHERE rank <= {topk} ORDER BY query_id, rank
+    """
+
+
+@q("ann_ivf_trained_topk", _ivf_trained_oracle())
+def _ann_ivf_trained(spark, sf):
+    """IVF with a TRAINED coarse quantizer: kmeans_centroids_int (exact
+    integer Lloyd's) produces the codebook, ivf_assign/ivf_topk probe it —
+    the full train -> assign -> search path in one oracle-checked query."""
+    emb = load(spark, sf, "embeddings")
+    cents = SIM.kmeans_centroids_int(emb, dim=_EMB_DIM, k=8, rounds=1)
+    cdf = spark.createDataFrame(
+        [(cid, [v / 1_000_000.0 for v in c]) for cid, c in cents],
+        "vec_id long, embedding array<double>",
+    )
+    queries = emb.filter(F.col("vec_id") < 10)
+    return SIM.ivf_topk(emb, queries, cdf, k=5)
+
+
 @q("ivf_kmeans_train", _kmeans_oracle())
 def _ivf_train(spark, sf):
     """IVF coarse-quantizer TRAINING: 2 Lloyd's rounds in exact integer
