@@ -55,13 +55,13 @@ BENCH_QUERIES = [
     "q3_top_revenue_orders",
     "q5_nation_revenue",
     "j1_broadcast_part_join",
-    "a1_event_type_stats",
-    "w1_last_context",
+    "a12_event_stats_rollup",
+    "w13_context_chain",
     "w2_sessionize",
     "d1_update_diff",
     "dedup_lsh_pairs",
     "dedup_simhash",
-    "text_fingerprint",
+    "text_doc_stats",
     "ann_brute_force_topk",
     "ann_lsh_topk",
     "pipeline_event_type_counts",
@@ -70,6 +70,7 @@ BENCH_QUERIES = [
     "mm_decode_stats",
     "ivf_kmeans_train",
     "emb_neardup_pairs",
+    "training_curate_survivors",
 ]
 
 
@@ -129,30 +130,67 @@ def main() -> None:
     os.makedirs(f"{REPO}/BENCH", exist_ok=True)
     result: dict = {"sf": SF_DIR, "n_pages": N_PAGES, "cpus": CPUS}
 
-    # --- headline + operator queries at local[CPUS] -------------------------
-    spark = build(f"local[{CPUS}]")
-    materialize_pages(spark)
-    # several warm passes: whole-stage-codegen JIT + python workers + page
-    # cache all need a few iterations to reach steady state
-    full_pipeline_job(spark)
-    full_pipeline_job(spark)
-    dt = min(full_pipeline_job(spark)[0] for _ in range(4))
-    rows = N_PAGES
-    result["value"] = round(rows / dt, 1)
-    result["metric"] = f"pages decoded+routed per sec, full pipeline (local[{CPUS}])"
+    # --- headline: full pipeline at BOTH parallelism levels -------------------
+    # Each pandas-UDF task needs a JVM thread AND a python worker, so
+    # local[32] oversubscribes this shared 32-core host (r2 lesson: its
+    # committed local[32] headline was inverted by its own local[8] leg).
+    # The headline is therefore the BEST level; both are published.
+    full: dict = {}
+    for n in (8, CPUS) if CPUS != 8 else (8,):
+        s = build(f"local[{n}]")
+        materialize_pages(s)
+        full_pipeline_job(s)
+        full_pipeline_job(s)  # warm: codegen JIT + python workers + page cache
+        best = min(full_pipeline_job(s)[0] for _ in range(3))
+        full[f"local[{n}]"] = {
+            "sec": round(best, 3),
+            "pages_per_sec": round(N_PAGES / best, 1),
+        }
+        s.stop()
+    best_level = max(full, key=lambda k: full[k]["pages_per_sec"])
+    result["value"] = full[best_level]["pages_per_sec"]
+    result["metric"] = (
+        f"pages decoded+routed per sec, full pipeline (best level: {best_level};"
+        " all levels disclosed in full_pipeline_levels)"
+    )
     result["unit"] = "pages/sec"
-    result["pipeline_sec"] = round(dt, 3)
+    result["pipeline_sec"] = full[best_level]["sec"]
+    result["full_pipeline_levels"] = full
 
+    # --- operator queries at local[CPUS]: warm + min-of-3 ---------------------
+    spark = build(f"local[{CPUS}]")
     from mysql_cdc_rs_spark.queries import QUERIES
 
     qsec: dict[str, float] = {}
     for name in BENCH_QUERIES:
         df = QUERIES[name](spark, SF_DIR)
         df.write.format("noop").mode("overwrite").save()  # warm
-        t0 = time.monotonic()
-        df.write.format("noop").mode("overwrite").save()
-        qsec[name] = round(time.monotonic() - t0, 3)
+        times = []
+        for _ in range(3):
+            t0 = time.monotonic()
+            df.write.format("noop").mode("overwrite").save()
+            times.append(time.monotonic() - t0)
+        qsec[name] = round(min(times), 3)
     result["queries"] = qsec
+
+    # --- curation pipeline throughput (the closest proxy of the 100 TB job) --
+    from mysql_cdc_rs_spark.plans.training_pipeline import curate
+
+    def _curate_run() -> tuple[float, int]:
+        pages = spark.read.parquet(PAGES_PARQUET)
+        t0 = time.monotonic()
+        n_surv = curate(pages).count()
+        return time.monotonic() - t0, n_surv
+
+    _curate_run()  # warm
+    runs = [_curate_run() for _ in range(2)]
+    cdt, surv = min(runs, key=lambda r: r[0])
+    result["curate"] = {
+        "docs_per_sec": round(N_PAGES / cdt, 1),
+        "survivors": surv,
+        "sec": round(cdt, 3),
+        "input_docs": N_PAGES,
+    }
     spark.stop()
 
     # --- scaling evidence ----------------------------------------------------
@@ -277,23 +315,15 @@ def main() -> None:
         }
         result["scaling_sessions"] = sess
 
-        # secondary: full pipeline (uncached, incl. sink write) at 8 vs 32
-        full: dict = {}
-        for n in (8, 32):
-            s = build(f"local[{n}]")
-            full_pipeline_job(s)
-            full_pipeline_job(s)
-            best = min(full_pipeline_job(s)[0] for _ in range(2))
-            full[f"local[{n}]"] = {
-                "sec": round(best, 3),
-                "pages_per_sec": round(N_PAGES / best, 1),
-            }
-            s.stop()
-        f8 = full["local[8]"]["pages_per_sec"]
-        f32 = full["local[32]"]["pages_per_sec"]
-        full["efficiency_8_to_32"] = round((f32 / f8) / 4.0, 3)
+        # secondary: full pipeline (uncached, incl. sink write) 8 vs 32 —
+        # reuses the headline phase's measured levels (min-of-3 each)
         result["scaling"] = scaling
-        result["scaling_full_pipeline"] = full
+        if "local[8]" in full and "local[32]" in full:
+            f8 = full["local[8]"]["pages_per_sec"]
+            f32 = full["local[32]"]["pages_per_sec"]
+            result["scaling_full_pipeline"] = dict(
+                full, efficiency_8_to_32=round((f32 / f8) / 4.0, 3)
+            )
 
     _write_bench_md(result)
     print(json.dumps(result))
@@ -307,8 +337,16 @@ def _write_bench_md(r: dict) -> None:
         " parquet files; operator queries at `" + r["sf"] + "`",
         f"- headline: **{r['value']} pages decoded+routed/sec** full pipeline "
         f"(scan -> vectorized decode UDF -> broadcast enrich -> partitioned "
-        f"fan-out write -> per-sink counts) on local[{r['cpus']}] "
-        f"({r['pipeline_sec']}s)",
+        f"fan-out write -> per-sink counts), best parallelism level, "
+        f"min-of-3 after warm ({r['pipeline_sec']}s)",
+        "- levels measured: "
+        + ", ".join(
+            f"{k} = {v['pages_per_sec']} pages/s"
+            for k, v in r.get("full_pipeline_levels", {}).items()
+        )
+        + " — local[32] oversubscribes this shared host (each pandas-UDF "
+        "task needs a JVM thread AND a python worker), so the best level "
+        "carries the headline and both are disclosed",
         "",
         "## Scaling (north-rule N -> 4N executors, single-host proxy)",
         "",
@@ -391,7 +429,20 @@ def _write_bench_md(r: dict) -> None:
                 " (2k threads per local[k]) + neighbor load.",
                 "",
             ]
-    lines += ["## Operator queries (noop sink, sec)", "", "| query | sec |", "|---|---|"]
+    cu = r.get("curate")
+    if cu:
+        lines += [
+            "## Composed curation pipeline (decode -> quality -> LSH dedup)",
+            "",
+            f"- **{cu['docs_per_sec']} docs/sec** over {cu['input_docs']} pages "
+            f"({cu['sec']}s, min-of-2 after warm), {cu['survivors']} survivors "
+            f"— the closest single number to the 100 TB training-data job",
+            "",
+        ]
+    lines += [
+        "## Operator queries (noop sink, min-of-3 after warm, sec)",
+        "", "| query | sec |", "|---|---|",
+    ]
     for k, v in sorted(r["queries"].items()):
         lines.append(f"| {k} | {v} |")
     lines.append("")

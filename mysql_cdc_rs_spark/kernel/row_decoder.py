@@ -33,7 +33,9 @@ T_DATE = 10
 T_TIME = 11
 T_DATETIME = 12
 T_YEAR = 13
+T_NEWDATE = 14
 T_VARCHAR = 15
+T_ARRAY = 20
 T_BIT = 16
 T_TIMESTAMP2 = 17
 T_DATETIME2 = 18
@@ -51,6 +53,39 @@ T_STRING = 254
 T_GEOMETRY = 255
 
 _INT_WIDTH = {T_TINY: 1, T_SHORT: 2, T_INT24: 3, T_LONG: 4, T_LONGLONG: 8}
+
+
+class UnsupportedColumnType(ValueError):
+    """A column type the decoder has no cell layout for (e.g. legacy
+    Decimal=0).  The F5 skip-don't-crash policy turns this into an error
+    ROW via decode_row_safe — it must never escape a kernel hot loop
+    (parity: /root/reference/binlog/src/decoder/event_decoder.rs:310-330)."""
+
+    def __init__(self, type_code: int):
+        super().__init__(f"unsupported column type {type_code}")
+        self.type_code = type_code
+
+
+def decode_row_safe(
+    buf: bytes,
+    column_types: list[int],
+    column_meta: list[int],
+    pos: int = 0,
+    signedness: list[bool] | None = None,
+    charset: str = "utf-8",
+) -> tuple[list[Any] | None, str | None]:
+    """decode_row with the F5 error-row contract: returns (cells, None) on
+    success, (None, error_code) on unsupported types / truncation.  The
+    hot-path UDFs call this so a bad cell becomes a counted error row."""
+    try:
+        cells, _ = decode_row(
+            buf, column_types, column_meta, pos, signedness, charset
+        )
+        return cells, None
+    except UnsupportedColumnType as e:
+        return None, f"UNSUPPORTED_TYPE_{e.type_code}"
+    except (ValueError, IndexError):
+        return None, "TRUNCATED_ROW"
 
 
 def decode_row(
@@ -110,7 +145,9 @@ def _decode_cell(buf, pos, t, meta, signed, charset):
         return struct.unpack_from("<d", buf, pos)[0], pos + 8
     if t == T_YEAR:
         return temporal.parse_year(buf, pos)
-    if t == T_DATE:
+    if t in (T_DATE, T_NEWDATE):
+        # NewDate=14 is the internal 3-byte packed date — same wire layout
+        # as DATE (/root/reference/common/src/binlog/column/column_type.rs:235)
         return temporal.parse_date(buf, pos)
     if t == T_TIME:
         return temporal.parse_time(buf, pos)
@@ -149,7 +186,20 @@ def _decode_cell(buf, pos, t, meta, signed, charset):
     if t == T_JSON:
         raw, pos = varint.parse_blob(buf, pos, meta or 4)
         return canonical_json(parse_jsonb(raw)), pos
-    raise ValueError(f"unsupported column type {t}")
+    if t == T_ARRAY:
+        # Typed array (multi-valued index cells): the metadata header packs
+        # the element type in its first byte and the element's own metadata
+        # after it (column_type.rs:204-213) — here meta = (elem_type << 16)
+        # | elem_meta; the cell is a 1-byte count + that many element cells
+        elem_t, elem_meta = meta >> 16, meta & 0xFFFF
+        n = buf[pos]
+        pos += 1
+        out: list[Any] = []
+        for _ in range(n):
+            v, pos = _decode_cell(buf, pos, elem_t, elem_meta, signed, charset)
+            out.append(v)
+        return out, pos
+    raise UnsupportedColumnType(t)
 
 
 # --- encoder (tests build golden row payloads) ------------------------------
@@ -162,8 +212,6 @@ def encode_row(
     charset: str = "utf-8",
 ) -> bytes:
     """Inverse of decode_row for the supported fixture types."""
-    import struct
-
     ncols = len(cells)
     nbytes = (ncols + 7) // 8
     bitmap = bytearray(nbytes)
@@ -173,56 +221,63 @@ def encode_row(
             bitmap[i >> 3] |= 1 << (i & 7)
             continue
         signed = signedness[i] if signedness else True
-        meta = column_meta[i]
-        if t in _INT_WIDTH:
-            body += int(v).to_bytes(_INT_WIDTH[t], "little", signed=signed)
-        elif t == T_FLOAT:
-            body += struct.pack("<f", v)
-        elif t == T_DOUBLE:
-            body += struct.pack("<d", v)
-        elif t in (T_VARCHAR, T_VAR_STRING):
-            raw = v.encode(charset)
-            body += (
-                len(raw).to_bytes(1, "little")
-                if meta < 256
-                else len(raw).to_bytes(2, "little")
-            ) + raw
-        elif t == T_NEWDECIMAL:
-            body += mysql_decimal.encode_decimal(v, meta >> 8, meta & 0xFF)
-        elif t == T_YEAR:
-            body += bytes([v - 1900])
-        elif t == T_DATE:
-            y, mo, d = v
-            body += ((y << 9) | (mo << 5) | d).to_bytes(3, "little")
-        elif t == T_TIME2:
-            h, mi, s, micros = v
-            body += ((1 << 23) | (h << 12) | (mi << 6) | s).to_bytes(3, "big")
-            body += _encode_fractional(micros, meta)
-        elif t == T_DATETIME2:
-            y, mo, d, h, mi, s, micros = v
-            packed = (
-                ((y * 13 + mo) << 22) | (d << 17) | (h << 12) | (mi << 6) | s
-            )
-            body += (packed | (1 << 39)).to_bytes(5, "big")  # sign bit set
-            body += _encode_fractional(micros, meta)
-        elif t == T_TIMESTAMP2:
-            secs, micros = divmod(int(v), 1_000_000)
-            body += secs.to_bytes(4, "big") + _encode_fractional(micros, meta)
-        elif t == T_STRING:
-            real_t, length = varint.actual_string_type(meta >> 8, meta & 0xFF)
-            if real_t == T_ENUM:
-                w = 1 if length < 256 else 2
-                body += int(v).to_bytes(w, "little")
-            elif real_t == T_SET:
-                body += int(v).to_bytes(length, "little")
-            else:
-                raw = v.encode(charset)
-                body += len(raw).to_bytes(
-                    1 if length < 256 else 2, "little"
-                ) + raw
-        else:
-            raise ValueError(f"encode_row: unsupported type {t}")
+        body += _encode_cell(v, t, column_meta[i], signed, charset)
     return bytes(bitmap) + bytes(body)
+
+
+def _encode_cell(v, t, meta, signed, charset) -> bytes:
+    import struct
+
+    if t in _INT_WIDTH:
+        return int(v).to_bytes(_INT_WIDTH[t], "little", signed=signed)
+    if t == T_FLOAT:
+        return struct.pack("<f", v)
+    if t == T_DOUBLE:
+        return struct.pack("<d", v)
+    if t in (T_VARCHAR, T_VAR_STRING):
+        raw = v.encode(charset)
+        return (
+            len(raw).to_bytes(1, "little")
+            if meta < 256
+            else len(raw).to_bytes(2, "little")
+        ) + raw
+    if t == T_NEWDECIMAL:
+        return mysql_decimal.encode_decimal(v, meta >> 8, meta & 0xFF)
+    if t == T_YEAR:
+        return bytes([v - 1900])
+    if t in (T_DATE, T_NEWDATE):
+        y, mo, d = v
+        return ((y << 9) | (mo << 5) | d).to_bytes(3, "little")
+    if t == T_TIME2:
+        h, mi, s, micros = v
+        return ((1 << 23) | (h << 12) | (mi << 6) | s).to_bytes(
+            3, "big"
+        ) + _encode_fractional(micros, meta)
+    if t == T_DATETIME2:
+        y, mo, d, h, mi, s, micros = v
+        packed = ((y * 13 + mo) << 22) | (d << 17) | (h << 12) | (mi << 6) | s
+        return (packed | (1 << 39)).to_bytes(5, "big") + _encode_fractional(
+            micros, meta
+        )  # sign bit set
+    if t == T_TIMESTAMP2:
+        secs, micros = divmod(int(v), 1_000_000)
+        return secs.to_bytes(4, "big") + _encode_fractional(micros, meta)
+    if t == T_STRING:
+        real_t, length = varint.actual_string_type(meta >> 8, meta & 0xFF)
+        if real_t == T_ENUM:
+            w = 1 if length < 256 else 2
+            return int(v).to_bytes(w, "little")
+        if real_t == T_SET:
+            return int(v).to_bytes(length, "little")
+        raw = v.encode(charset)
+        return len(raw).to_bytes(1 if length < 256 else 2, "little") + raw
+    if t == T_ARRAY:
+        elem_t, elem_meta = meta >> 16, meta & 0xFFFF
+        out = bytes([len(v)])
+        for el in v:
+            out += _encode_cell(el, elem_t, elem_meta, signed, charset)
+        return out
+    raise ValueError(f"encode_row: unsupported type {t}")
 
 
 def _encode_fractional(micros: int, fsp: int) -> bytes:

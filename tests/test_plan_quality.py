@@ -100,8 +100,7 @@ def test_row_decode_queries_single_python_node(spark):
     for name, pushed in [
         ("p3_row_decode", "LessThan(event_id,5000)"),
         ("p8_enum_label_join", "LessThan(event_id,3000)"),
-        ("c8_time2_roundtrip", "LessThan(event_id,4000)"),
-        ("c10_timestamp2_roundtrip", "LessThan(event_id,4000)"),
+        ("c810_temporal_v2_roundtrip", "LessThan(event_id,4000)"),
         ("p4_deflate_roundtrip", "LessThan(doc_id,400)"),
         ("mm_decode_stats", "LessThan(doc_id,300)"),
     ]:
