@@ -36,6 +36,22 @@ CHARSET_MAP: dict[str, str] = {
     "sjis": "shift_jis",
     "euc-kr": "euc-kr",
     "euckr": "euc-kr",
+    # reference ids 2xx: ucs2/utf16/utf16le/utf32 (charset.rs:120-143)
+    "ucs2": "utf-16-be",
+    "ucs-2": "utf-16-be",
+    "utf16": "utf-16-be",  # MySQL utf16 is big-endian
+    "utf-16": "utf-16-be",
+    "utf16le": "utf-16-le",
+    "utf-16le": "utf-16-le",
+    "utf32": "utf-32-be",
+    "utf-32": "utf-32-be",
+    # reference ids 26/51/14...: cp1250/cp1251/cp1252 windows codepages
+    "cp1250": "cp1250",
+    "windows-1250": "cp1250",
+    "cp1251": "cp1251",
+    "windows-1251": "cp1251",
+    "cp1252": "cp1252",
+    "windows-1252": "cp1252",
     "binary": None,  # type: ignore[dict-item]  # opaque bytes, no text decode
 }
 

@@ -121,12 +121,49 @@ def publish_run_metrics(
 
 class MetricsListener:
     """StreamingQueryListener pushing per-micro-batch progress rows to the
-    metrics table (one row per batch: input rows + rows/sec)."""
+    metrics table (one row per batch: input rows + rows/sec).
+
+    The listener bus delivers events on a single thread and swallows
+    exceptions, so a slow or failing parquet append there would silently
+    stall ALL listeners.  onQueryProgress therefore only BUFFERS rows; a
+    daemon worker drains the buffer off the bus thread, batching multiple
+    progress events per write, and failed flushes are counted on
+    ``flush_errors`` instead of vanishing."""
 
     def __new__(cls, catalog, table: str = "monitoring_metrics"):
+        import threading
+
         from pyspark.sql.streaming import StreamingQueryListener
 
         class _L(StreamingQueryListener):
+            def __init__(self):
+                self._buf: list[tuple] = []
+                self._lock = threading.Lock()
+                self._wake = threading.Event()
+                self.flush_errors = 0
+                worker = threading.Thread(
+                    target=self._drain_forever, daemon=True,
+                    name="metrics-listener-flush",
+                )
+                worker.start()
+
+            def _drain_forever(self):
+                while True:
+                    self._wake.wait(timeout=1.0)
+                    self._wake.clear()
+                    self.flush()
+
+            def flush(self):
+                with self._lock:
+                    rows, self._buf = self._buf, []
+                if not rows:
+                    return
+                try:
+                    df = catalog.spark.createDataFrame(rows, METRICS_SCHEMA)
+                    catalog.append(df, table)
+                except Exception:  # noqa: BLE001 — metrics must never kill
+                    self.flush_errors += 1  # the stream; count, don't raise
+
             def onQueryStarted(self, event):
                 pass
 
@@ -134,7 +171,8 @@ class MetricsListener:
                 pass
 
             def onQueryTerminated(self, event):
-                pass
+                # final drain request for rows buffered after the last batch
+                self._wake.set()
 
             def onQueryProgress(self, event):
                 p = event.progress
@@ -154,7 +192,8 @@ class MetricsListener:
                         p.timestamp,
                     ),
                 ]
-                df = catalog.spark.createDataFrame(rows, METRICS_SCHEMA)
-                catalog.append(df, table)
+                with self._lock:
+                    self._buf.extend(rows)
+                self._wake.set()
 
         return _L()

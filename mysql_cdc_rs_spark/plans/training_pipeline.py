@@ -50,7 +50,16 @@ def curate(
         F.col("event_type").isin("html", "plain")
     ).select(doc_id_expr.alias("doc_id"), "text")
 
-    quality = textful.filter(F.size(words_of(F.col("text"))) >= min_tokens)
+    # The quality corpus feeds TWO branches (the LSH drops set and the
+    # survivors anti-join); without a persist Spark re-executes the whole
+    # decode subtree for each — at 100 TB that doubles the most expensive
+    # stage.  MEMORY_AND_DISK spills gracefully on executors that can't
+    # hold their slice.
+    from pyspark import StorageLevel
+
+    quality = textful.filter(
+        F.size(words_of(F.col("text"))) >= min_tokens
+    ).persist(StorageLevel.MEMORY_AND_DISK)
 
     pairs = DD.lsh_candidate_pairs(quality)
     # keep-first policy: any doc that is the HIGHER member of a candidate

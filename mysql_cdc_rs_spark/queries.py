@@ -1772,7 +1772,7 @@ _CS_HASH = "(('0x' || substr(md5('cs:' || doc_id), 1, 15))::BIGINT)"
     f"""
     SELECT {EVENT_TYPE_SQL} AS event_type,
            CASE WHEN ({CLS_SQL}) < 70
-                  THEN ['utf-8','latin-1','gbk'][({_CS_HASH} % 3) + 1]
+                  THEN ['utf-8','latin-1','gbk','cp1252'][({_CS_HASH} % 4) + 1]
                 WHEN ({CLS_SQL}) < 80 THEN 'utf-8' END AS charset,
            CASE WHEN ({CLS_SQL}) < 80 THEN 'header' END AS charset_source,
            count(*) AS n

@@ -16,8 +16,8 @@ Class mix (h = md5_60('cls:'||doc_id) % 100):
 
 tld  = TLDS8[md5_60('tld:'||doc_id) % 8]  ('gov' missing from the dimension
        table -> those rows route to errors: J1 missing-key semantics)
-charset = CHARSETS3[md5_60('cs:'||doc_id) % 3]  (text is ASCII, so the
-       charset round-trip is byte-exact for all three)
+charset = CHARSETS4[md5_60('cs:'||doc_id) % 4]  (text is ASCII, so the
+       charset round-trip is byte-exact for all four)
 expected text (html):  'D{doc_id} {norm_text}'
 expected text (plain): '{norm_text}'
 where norm_text = whitespace-collapsed documents.text.
@@ -30,8 +30,13 @@ import hashlib
 from datetime import datetime, timedelta, timezone
 
 TLDS8 = ["com", "org", "net", "io", "de", "fr", "edu", "gov"]
-CHARSETS3 = ["utf-8", "latin1", "gbk"]
-_CODEC = {"utf-8": "utf-8", "latin1": "latin-1", "gbk": "gbk"}
+CHARSETS4 = ["utf-8", "latin1", "gbk", "windows-1252"]
+_CODEC = {
+    "utf-8": "utf-8",
+    "latin1": "latin-1",
+    "gbk": "gbk",
+    "windows-1252": "cp1252",
+}
 EPOCH = datetime(2025, 1, 1, tzinfo=timezone.utc)
 
 PAGES_SCHEMA = "url string, warc_ts timestamp, html binary, text string, lang string"
@@ -63,7 +68,7 @@ NORM_TEXT_SQL = "trim(regexp_replace(text, '\\s+', ' ', 'g'))"
 def make_page(doc_id: int, text: str, lang: str, source: str):
     h = md5_60(f"cls:{doc_id}") % 100
     tld = TLDS8[md5_60(f"tld:{doc_id}") % 8]
-    cs = CHARSETS3[md5_60(f"cs:{doc_id}") % 3]
+    cs = CHARSETS4[md5_60(f"cs:{doc_id}") % 4]
     host = f"{source}.{tld}"
     url = f"https://{host}/d/{doc_id}"
     ts = EPOCH + timedelta(seconds=md5_60(f"ts:{doc_id}") % (86400 * 30))

@@ -188,3 +188,27 @@ def test_jsonb_golden_fixtures_documented_layout():
     gold_arr = bytes.fromhex("020200 0d00 050100 0c0a00 02 6162".replace(" ", ""))
     assert jsonb.parse_jsonb(gold_arr) == [1, "ab"]
     assert jsonb.encode_jsonb([1, "ab"]) == gold_arr
+
+
+def test_charset_map_widened_aliases():
+    """Reference charset.rs:38-200 breadth: utf16/utf16le/utf32 + windows
+    codepages resolve, decode deterministically, and unknown still errors."""
+    from mysql_cdc_rs_spark.kernel.charset import decode_text, normalize_charset
+
+    assert normalize_charset("UTF-16") == "utf-16-be"
+    assert normalize_charset("utf16le") == "utf-16-le"
+    assert normalize_charset("utf-32") == "utf-32-be"
+    assert normalize_charset("windows-1252") == "cp1252"
+    assert normalize_charset("CP1251") == "cp1251"
+    assert normalize_charset("windows-1250") == "cp1250"
+    assert normalize_charset("no-such-charset") is None
+    assert decode_text("héllo".encode("cp1252"), "cp1252") == "héllo"
+    assert decode_text("привет".encode("cp1251"), "cp1251") == "привет"
+    assert decode_text("ab".encode("utf-16-be"), "utf-16-be") == "ab"
+
+
+def test_sniff_windows_1252_header():
+    from mysql_cdc_rs_spark.kernel.charset import sniff_charset
+
+    got = sniff_charset(b"text/html; charset=windows-1252", b"")
+    assert got == ("cp1252", "header")

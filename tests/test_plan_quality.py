@@ -124,3 +124,37 @@ def test_neardup_single_embeddings_scan(spark):
 
     plan = _formatted(spark, QUERIES["emb_neardup_pairs"](spark, SF))
     assert plan.count("embeddings.parquet") == 1
+
+
+def test_explain_snapshots_carry_invariants():
+    """The committed BENCH/explain snapshots (scripts/dump_explain.py) must
+    carry the same invariants the live-plan tests pin — a regenerated
+    snapshot that lost one fails here, making plan regressions reviewable
+    diffs instead of silent drift."""
+    import os
+
+    d = os.path.join(os.path.dirname(__file__), "..", "BENCH", "explain")
+
+    def read(name: str) -> str:
+        with open(os.path.join(d, name)) as f:
+            return f.read()
+
+    pipeline = read("pipeline_decode_enrich.txt")
+    assert pipeline.count("ArrowEvalPython") == 2  # ONE node (tree+detail)
+    assert pipeline.count("BroadcastHashJoin") == 4  # both dim joins
+    assert "SortMergeJoin" not in pipeline
+
+    q1 = read("q1_pricing_summary.txt")
+    assert "LessThanOrEqual(l_shipdate" in q1  # PushedFilters
+    assert "ReadSchema: struct<l_quantity" in q1  # pruned columns
+
+    assert read("dedup_lsh_pairs.txt").count("documents.parquet") == 1
+    assert read("emb_neardup_pairs.txt").count("embeddings.parquet") == 1
+    assert read("p3_row_decode.txt").count("MapInPandas") == 2
+    # curate: the quality corpus is PERSISTED — both consumers (LSH drops +
+    # survivors anti-join) read InMemoryTableScan instead of re-running the
+    # decode subtree (the text occurrence count of ArrowEvalPython is
+    # inflated by the cached plan being printed per scan; the cache nodes
+    # are the physical invariant)
+    curate = read("training_curate_survivors.txt")
+    assert curate.count("InMemoryTableScan") >= 2

@@ -110,3 +110,39 @@ def test_row_decode_via_spark(spark):
     assert got[0] == (1, 11111)
     assert got[49] == (50, 50 * 11111)
     assert len(got) == 50
+
+
+def test_newdate_and_typed_array_roundtrip():
+    """NewDate=14 (3-byte packed date) and typed Array=20 (element type in
+    the metadata header) round-trip; parity targets
+    /root/reference/common/src/binlog/column/column_type.rs:204-259."""
+    types = [R.T_NEWDATE, R.T_ARRAY, R.T_ARRAY]
+    meta = [0, (R.T_SHORT << 16) | 0, (R.T_VARCHAR << 16) | 64]
+    cells = [(2024, 2, 29), [1, -2, 300], ["a", "bc", ""]]
+    buf = R.encode_row(cells, types, meta)
+    out, pos = R.decode_row(buf, types, meta)
+    assert out == cells
+    assert pos == len(buf)
+    # empty array and NULL array cells
+    buf2 = R.encode_row([[], None], [R.T_ARRAY, R.T_ARRAY],
+                        [(R.T_LONG << 16), (R.T_LONG << 16)])
+    assert R.decode_row(buf2, [R.T_ARRAY, R.T_ARRAY],
+                        [(R.T_LONG << 16), (R.T_LONG << 16)])[0] == [[], None]
+
+
+def test_decode_row_safe_error_rows():
+    """F5 policy: unsupported types / truncation come back as error CODES,
+    never exceptions (event_decoder.rs:310-330 skip-don't-crash)."""
+    # legacy Decimal=0: no cell layout -> UNSUPPORTED_TYPE_0
+    cells, err = R.decode_row_safe(b"\x00\x01", [R.T_DECIMAL], [0])
+    assert cells is None and err == "UNSUPPORTED_TYPE_0"
+    # invalid=243 likewise
+    _, err = R.decode_row_safe(b"\x00\x01", [243], [0])
+    assert err == "UNSUPPORTED_TYPE_243"
+    # truncated LONGLONG payload -> TRUNCATED_ROW
+    good = R.encode_row([12345678901], [R.T_LONGLONG], [0])
+    cells, err = R.decode_row_safe(good[:-3], [R.T_LONGLONG], [0])
+    assert cells is None and err == "TRUNCATED_ROW"
+    # the happy path still returns cells
+    cells, err = R.decode_row_safe(good, [R.T_LONGLONG], [0])
+    assert cells == [12345678901] and err is None

@@ -298,3 +298,24 @@ def test_wss_strategy_dispatch(spark):
     assert got[3]["route"] == "unknown"
     assert got[3]["payload"] == "unknown-action:CONNECTION"
     assert got[4]["payload"] == "unknown-action:NOPE"
+
+
+def test_kafka_source_swap_plan(spark):
+    """S5: the claimed one-line Kafka swap — the reader plan must compile
+    with the SAME downstream transformations as the file/rate sources.
+    Where the spark-sql-kafka connector jar is absent (this sandbox), the
+    source resolution itself raises and the test records that as a skip;
+    everything downstream is source-agnostic either way."""
+    from mysql_cdc_rs_spark.operators.decode import decode_pages
+    from mysql_cdc_rs_spark.operators.enrich import enrich
+    from mysql_cdc_rs_spark.streaming.stream_pipeline import stream_pages_kafka
+
+    try:
+        pages = stream_pages_kafka(spark, "localhost:9092", "pages")
+    except Exception as e:  # noqa: BLE001 — connector-absent path
+        msg = str(e).lower()
+        assert "kafka" in msg, f"failed before source resolution: {e}"
+        pytest.skip(f"kafka connector not on classpath: {type(e).__name__}")
+    out = enrich(decode_pages(pages))
+    assert out.isStreaming
+    assert {"url", "warc_ts", "html", "route", "region"} <= set(out.columns)
