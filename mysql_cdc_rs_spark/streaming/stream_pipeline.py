@@ -75,6 +75,35 @@ def stream_pages_rate(
     return raw.mapInPandas(gen, schema=PAGES_DDL)
 
 
+def stream_pages_socket(spark, host: str, port: int) -> DataFrame:
+    """Socket-style live source analog #4: the LITERAL socket leg of S5 —
+    Spark's built-in TCP socket source stands in for the replication-dump
+    byte stream (/root/reference/connection/src/binlog/
+    binlog_subscribe.rs:51-96).  Framing: one page per line as
+    ``url<TAB>lang<TAB>base64(html)`` — the in-band metadata the reference's
+    event stream carries next to the payload; newline framing replaces the
+    binlog's length-prefix framing (S4's splitter handles the latter).
+    ``warc_ts`` is arrival time — the socket source carries no event time,
+    exactly like the reference's live socket.  The plan builds without
+    connecting; the connection opens when the stream starts, and everything
+    downstream (decode, enrich, route, checkpointing) is shared verbatim
+    with the file/rate/Kafka sources."""
+    raw = (
+        spark.readStream.format("socket")
+        .option("host", host)
+        .option("port", port)
+        .load()
+    )
+    parts = F.split(F.col("value"), "\t")
+    return raw.select(
+        parts.getItem(0).alias("url"),
+        F.current_timestamp().alias("warc_ts"),
+        F.unbase64(parts.getItem(2)).alias("html"),
+        F.lit(None).cast("string").alias("text"),
+        parts.getItem(1).alias("lang"),
+    )
+
+
 def stream_pages_kafka(
     spark,
     bootstrap_servers: str,

@@ -319,3 +319,70 @@ def test_kafka_source_swap_plan(spark):
     out = enrich(decode_pages(pages))
     assert out.isStreaming
     assert {"url", "warc_ts", "html", "route", "region"} <= set(out.columns)
+
+
+def test_socket_source_live_pages(spark):
+    """S5 socket leg, EXECUTED: a loopback TCP server emits
+    url<TAB>base64(html) lines; the socket stream feeds the same
+    decode -> enrich path and must produce the exact per-route counts and
+    byte-identical text of the batch pipeline over the same 40 pages."""
+    import base64
+    import socket
+    import threading
+    import time
+
+    from mysql_cdc_rs_spark.operators.decode import decode_pages
+    from mysql_cdc_rs_spark.operators.enrich import enrich
+    from mysql_cdc_rs_spark.streaming.stream_pipeline import stream_pages_socket
+
+    batch = pages_df(spark, 40, seed=42).select("url", "lang", "html").collect()
+    lines = [
+        f"{r['url']}\t{r['lang']}\t"
+        f"{base64.b64encode(bytes(r['html'])).decode('ascii')}\n"
+        for r in batch
+    ]
+
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+
+    def serve():
+        conn, _ = srv.accept()
+        with conn:
+            conn.sendall("".join(lines).encode("ascii"))
+            time.sleep(30)  # keep the connection open until the query stops
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+
+    pages = stream_pages_socket(spark, "127.0.0.1", port)
+    out = enrich(decode_pages(pages)).select("url", "route", "text")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("socket_pages")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            try:
+                n = spark.sql("SELECT count(*) FROM socket_pages").first()[0]
+            except Exception:  # noqa: BLE001 — sink table not registered yet
+                n = 0
+            if n == 40:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+        srv.close()
+
+    got = spark.sql("SELECT url, route, text FROM socket_pages")
+    assert got.count() == 40
+    want = enrich(
+        decode_pages(pages_df(spark, 40, seed=42))
+    ).select("url", "route", "text")
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
