@@ -327,6 +327,55 @@ def ivf_assign(corpus: DataFrame, centroids: DataFrame) -> DataFrame:
     )
 
 
+def ivf_topk_nprobe(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+) -> DataFrame:
+    """ANN top-k probing the query's ``nprobe`` nearest IVF cells — the
+    recall lever of inverted-file search: nprobe=1 misses neighbors that
+    fell just across a cell boundary; probing the next-nearest cells
+    recovers them at ``nprobe``x the candidate cost, still a tiny fraction
+    of the corpus.  Plan shape is unchanged from nprobe=1: the corpus is
+    scanned once (assignment), the (query, probe-cell) pairs are a
+    BROADCAST side of queries*nprobe rows, and the cell id remains the
+    partition-pruning key at 10^12 scale."""
+    assigned = ivf_assign(corpus, centroids)
+    c = centroids.select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_emb")
+    )
+    q = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    qscored = q.crossJoin(broadcast(c)).withColumn(
+        "cent_sim", cosine(F.col("q_emb"), F.col("cent_emb"))
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("cent_sim").desc(), F.col("cent_id").asc()
+    )
+    probes = (
+        qscored.withColumn("r", F.row_number().over(wq))
+        .where(F.col("r") <= nprobe)
+        .select("query_id", "q_emb", "cent_id")
+    )
+    scored = (
+        assigned.join(broadcast(probes), "cent_id")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .withColumn("sim", cosine(F.col("q_emb"), F.col("embedding")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", F.col("vec_id").alias("neighbor_id"))
+        .orderBy("query_id", "rank")
+    )
+
+
 def ivf_topk(
     corpus: DataFrame, queries: DataFrame, centroids: DataFrame, k: int = 10
 ) -> DataFrame:

@@ -2413,6 +2413,59 @@ def _curate(spark, sf):
     ).orderBy("doc_id")
 
 
+@q(
+    "ann_ivf_nprobe2_topk",
+    f"""
+    WITH cent AS (SELECT vec_id AS cent_id, embedding AS cent_emb
+                  FROM embeddings WHERE vec_id % 50 = 0),
+    assigned AS (
+      SELECT vec_id, embedding, cent_id FROM (
+        SELECT e.vec_id, e.embedding, c.cent_id,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_cos_sql('e.embedding', 'c.cent_emb', _EMB_DIM)} DESC,
+                          c.cent_id ASC) AS r
+        FROM embeddings e CROSS JOIN cent c
+      ) WHERE r = 1
+    ),
+    q AS (SELECT vec_id AS query_id, embedding AS q_emb
+          FROM embeddings WHERE vec_id < 10),
+    probes AS (
+      SELECT query_id, q_emb, cent_id FROM (
+        SELECT q.query_id, q.q_emb, c.cent_id,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY {_cos_sql('q.q_emb', 'c.cent_emb', _EMB_DIM)} DESC,
+                          c.cent_id ASC) AS r
+        FROM q CROSS JOIN cent c
+      ) WHERE r <= 2
+    ),
+    scored AS (
+      SELECT p.query_id, a.vec_id,
+             {_cos_sql('p.q_emb', 'a.embedding', _EMB_DIM)} AS sim
+      FROM assigned a JOIN probes p ON a.cent_id = p.cent_id
+      WHERE a.vec_id <> p.query_id
+    ),
+    ranked AS (
+      SELECT query_id, vec_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, vec_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, rank, vec_id AS neighbor_id
+    FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+    """,
+)
+def _ann_ivf_np2(spark, sf):
+    """IVF ANN with nprobe=2 — the recall lever: each query probes its TWO
+    nearest cells, recovering neighbors that nprobe=1 loses across cell
+    boundaries.  Corpus scanned once; (query, probe-cell) pairs broadcast."""
+    emb = load(spark, sf, "embeddings")
+    centroids = emb.filter(F.col("vec_id") % 50 == 0)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return SIM.ivf_topk_nprobe(emb, queries, centroids, k=5, nprobe=2)
+
+
 # =========================================================================
 # Driver-budget ordering: the driver runs queries in REGISTRATION order and
 # caps the set (CORRECTNESS_r02 held exactly the first 50 of 57), which
@@ -2478,6 +2531,8 @@ _PRIORITY = [
     "ann_ivf_topk",
     "ivf_kmeans_train",
     "ann_ivf_trained_topk",
+    # intentionally LAST: if a runner caps at 50 everything above still runs
+    "ann_ivf_nprobe2_topk",
 ]
 
 
