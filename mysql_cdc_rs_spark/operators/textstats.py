@@ -42,6 +42,17 @@ LANG_MARKERS = {
 
 STOPWORDS = ["the", "a", "and", "of", "to"]
 
+# BPE-style pretokenizer (GPT-2 shaped, made RE2/Java-portable: no
+# lookaheads, ASCII classes — the corpus is ASCII).  Alternation order is
+# leftmost-first in BOTH engines (Java regex, DuckDB's RE2 non-POSIX), so
+# contractions bind before the preceding word grabs the apostrophe.
+BPE_TOKEN_RE = (
+    "'(?:s|t|re|ve|m|ll|d)"  # English contractions
+    "| ?[A-Za-z]+"           # optionally space-prefixed word
+    "| ?[0-9]+"              # optionally space-prefixed number run
+    "| ?[^A-Za-z0-9 ]+"      # punctuation/symbol run
+)
+
 FP_WORD_MOD = 1 << 20
 FP_ACC_MOD = 1 << 40
 FP_MULT = 31

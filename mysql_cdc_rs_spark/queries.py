@@ -750,6 +750,10 @@ _FP_HASHES = (
     "list_transform(words, x -> "
     "(('0x' || substr(md5(x), 1, 15))::BIGINT) % 1048576)"
 )
+# SQL literal of the BPE pretokenizer (apostrophes doubled); applied to the
+# whitespace-NORMALIZED text so the only whitespace either engine sees is
+# ' ' (Java \s and RE2 \s differ on \x0B — normalized input sidesteps it)
+_BPE_SQL = TS.BPE_TOKEN_RE.replace("'", "''")
 
 
 @q(
@@ -757,6 +761,7 @@ _FP_HASHES = (
     f"""
     WITH w AS (
       SELECT doc_id, {_WORDS} AS words,
+             trim(regexp_replace(text, '\\s+', ' ', 'g')) AS norm_txt,
              length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS n_chars_norm
       FROM documents
     )
@@ -772,14 +777,18 @@ _FP_HASHES = (
                 ELSE CAST(floor(len(words)::DOUBLE / 50.0 * 1000000 + 0.5)
                           AS BIGINT) END AS len_score_e6,
            list_reduce(list_prepend(0::BIGINT, {_FP_HASHES}),
-                       (acc, h) -> (acc * 31 + h) % 1099511627776) AS fingerprint
+                       (acc, h) -> (acc * 31 + h) % 1099511627776) AS fingerprint,
+           CAST(len(regexp_extract_all(norm_txt, '{_BPE_SQL}')) AS INT)
+             AS n_bpe_tokens
     FROM w ORDER BY doc_id
     """,
 )
 def _text_stats(spark, sf):
-    """Token stats + quality scoring + rolling-hash fingerprint per document
-    in ONE documents pass (token counting, stopword/length quality ratios,
-    order-sensitive polynomial fingerprint — all JVM-side expressions)."""
+    """Token stats + quality scoring + rolling-hash fingerprint + BPE-style
+    pretokenizer count per document in ONE documents pass (whitespace token
+    counting, stopword/length quality ratios, order-sensitive polynomial
+    fingerprint, GPT-2-shaped subword-boundary token count — all JVM-side
+    expressions)."""
     from mysql_cdc_rs_spark.functions.text import (
         norm_ws,
         portable_hash60,
@@ -817,6 +826,11 @@ def _text_stats(spark, sf):
         .otherwise(e_units(n_tokens.cast("double") / 50.0, 6))
         .alias("len_score_e6"),
         fp.alias("fingerprint"),
+        F.size(
+            F.regexp_extract_all(
+                norm_ws(F.col("text")), F.lit(TS.BPE_TOKEN_RE), F.lit(0)
+            )
+        ).cast("int").alias("n_bpe_tokens"),
     ).orderBy("doc_id")
 
 

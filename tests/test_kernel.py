@@ -212,3 +212,29 @@ def test_sniff_windows_1252_header():
 
     got = sniff_charset(b"text/html; charset=windows-1252", b"")
     assert got == ("cp1252", "header")
+
+
+def test_bpe_pretokenizer_portable():
+    """The BPE-style pretokenizer must count identically under Python re
+    and DuckDB's RE2 (the Spark/Java side is pinned by the text_doc_stats
+    parity gate) — leftmost-first alternation, no lookaheads."""
+    import re
+
+    import duckdb
+
+    from mysql_cdc_rs_spark.operators.textstats import BPE_TOKEN_RE
+
+    cases = [
+        "don't stop", "it's 2024, really!?", "a1b2 c3", "... --- '",
+        "I'll we've they'd you're", "word", "", "x 'tis", "3.14 costs $5",
+        "e.g. CO2-rich (very) 'quoted'",
+    ]
+    pat = re.compile(BPE_TOKEN_RE)
+    con = duckdb.connect()
+    sql_pat = BPE_TOKEN_RE.replace("'", "''")
+    for s in cases:
+        lit = s.replace("'", "''")
+        got = con.sql(
+            f"SELECT len(regexp_extract_all('{lit}', '{sql_pat}'))"
+        ).fetchone()[0]
+        assert len(pat.findall(s)) == got, (s, pat.findall(s), got)
