@@ -225,6 +225,73 @@ def decode_wav(blob: bytes) -> dict:
 
 
 # --------------------------------------------------------------------------
+# transforms: image resize, audio subsample, video container + frame sample
+# --------------------------------------------------------------------------
+
+def resize_nearest(width: int, height: int, channels: int, pixels: bytes,
+                   out_w: int, out_h: int) -> bytes:
+    """Nearest-neighbor resize with EXACT integer index mapping
+    (xi = xo*width // out_w) — deterministic and reproducible in SQL, the
+    property every oracle-checked transform here needs."""
+    out = bytearray(out_w * out_h * channels)
+    o = 0
+    for yo in range(out_h):
+        yi = yo * height // out_h
+        row = yi * width * channels
+        for xo in range(out_w):
+            xi = xo * width // out_w
+            p = row + xi * channels
+            out[o:o + channels] = pixels[p:p + channels]
+            o += channels
+    return bytes(out)
+
+
+def sample_pcm(samples, step: int) -> list[int]:
+    """Audio frame-sampling: every ``step``-th PCM sample (decimation
+    without filtering — the deterministic skeleton of a resampler)."""
+    return list(samples[::step])
+
+
+_VID_MAGIC = b"VID0"
+
+
+def encode_video(frames: list[bytes]) -> bytes:
+    """Deterministic frame container: magic + u16 frame count + per-frame
+    u32 length-prefixed payloads (PNG frames in the tests).  Stands in for
+    a real container the way the relay-segment codec stands in for binlog
+    files — the frame-sampling plumbing is what's under test."""
+    out = bytearray(_VID_MAGIC)
+    out += len(frames).to_bytes(2, "big")
+    for f in frames:
+        out += len(f).to_bytes(4, "big") + f
+    return bytes(out)
+
+
+def decode_video(blob: bytes) -> list[bytes]:
+    """Container -> frame payloads; raises on bad magic / truncation."""
+    if blob[:4] != _VID_MAGIC:
+        raise ValueError("not a VID0 container")
+    n = int.from_bytes(blob[4:6], "big")
+    pos, frames = 6, []
+    for _ in range(n):
+        if pos + 4 > len(blob):
+            raise ValueError("truncated VID0 frame header")
+        ln = int.from_bytes(blob[pos:pos + 4], "big")
+        pos += 4
+        frame = blob[pos:pos + ln]
+        if len(frame) != ln:
+            raise ValueError("truncated VID0 frame payload")
+        frames.append(frame)
+        pos += ln
+    return frames
+
+
+def sample_frames(blob: bytes, step: int) -> list[bytes]:
+    """Video frame-sampling: every ``step``-th frame of the container."""
+    return decode_video(blob)[::step]
+
+
+# --------------------------------------------------------------------------
 # dispatch + Spark plumbing
 # --------------------------------------------------------------------------
 
@@ -262,6 +329,24 @@ def decode_blob(blob: bytes, mime: str) -> tuple[str, dict | None, list]:
                 float(st["bit_depth"]), float(st["n_samples"]),
                 st["abs_sum"] / max(st["n_samples"], 1),
                 float(st["peak"]), 0.0, float(st["abs_sum"] % 997),
+            ]
+            return "decoded", st, feat
+        if mime == "video/x-frames":
+            frames = decode_video(blob)
+            f0 = decode_png(frames[0]) if frames else None
+            st = {
+                "kind": "video",
+                "n_frames": len(frames),
+                "width": f0["width"] if f0 else None,
+                "height": f0["height"] if f0 else None,
+                "channels": f0["channels"] if f0 else None,
+            }
+            npx = (st["width"] or 0) * (st["height"] or 0)
+            feat = [
+                float(st["n_frames"]), float(st["width"] or 0),
+                float(st["height"] or 0), float(st["channels"] or 0),
+                (f0["pixel_sum"] / max(npx, 1)) if f0 else 0.0,
+                0.0, 0.0, float((f0["pixel_sum"] if f0 else 0) % 997),
             ]
             return "decoded", st, feat
     except (ValueError, zlib.error, struct.error):

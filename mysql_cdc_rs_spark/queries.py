@@ -2097,38 +2097,89 @@ def _p4_deflate(spark, sf):
     ).orderBy("doc_id")
 
 
-@q(
-    "mm_decode_stats",
-    """
+def _mm_oracle() -> str:
+    """Closed-form SQL twin of the multimodal fixtures: pixel formula
+    p(f,x,y,c) = (did*31 + f*17 + x*7 + y*13 + c*97) % 256, PCM formula
+    s(i) = ((did*7919 + i*104729) % 65536) - 32768; resize uses the exact
+    nearest-neighbor index map xi = xo*w // out_w."""
+    def pix(f, x, y, c):
+        return f"(doc_id * 31 + ({f}) * 17 + ({x}) * 7 + ({y}) * 13 + ({c}) * 97) % 256"
+
+    W_PNG, H_PNG = "(2 + doc_id % 6)", "(2 + doc_id % 4)"
+    W_VID, H_VID = "(2 + doc_id % 3)", "2"
+    png_sum = (
+        f"list_sum(flatten(list_transform(range(0, {W_PNG}), x -> "
+        f"flatten(list_transform(range(0, {H_PNG}), y -> "
+        f"list_transform(range(0, 3), c -> {pix(0, 'x', 'y', 'c')}))))))"
+    )
+    png_resized = (
+        "list_sum(flatten(list_transform(range(0, 2), xo -> "
+        "flatten(list_transform(range(0, 2), yo -> "
+        "list_transform(range(0, 3), c -> "
+        + pix(0, f"(xo * {W_PNG}) // 2", f"(yo * {H_PNG}) // 2", "c")
+        + "))))))"
+    )
+    N_PCM = "(16 + doc_id % 32)"
+    pcm_abs = "abs(((doc_id * 7919 + ({i}) * 104729) % 65536) - 32768)"
+    wav_sum = (
+        f"list_sum(list_transform(range(0, {N_PCM}), i -> "
+        + pcm_abs.format(i="i") + "))"
+    )
+    wav_sampled = (
+        f"list_sum(list_transform(range(0, ({N_PCM} + 2) // 3), j -> "
+        + pcm_abs.format(i="3 * j") + "))"
+    )
+
+    def vid_sum(frames):
+        return (
+            f"list_sum(flatten(list_transform({frames}, f -> "
+            f"flatten(list_transform(range(0, {W_VID}), x -> "
+            f"flatten(list_transform(range(0, {H_VID}), y -> "
+            f"list_transform(range(0, 3), c -> {pix('f', 'x', 'y', 'c')}))))))))"
+        )
+
+    return f"""
     SELECT doc_id,
-      CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'audio/wav' END AS mime,
-      CAST(CASE WHEN doc_id % 2 = 0 THEN 2 + doc_id % 6 END AS INT) AS width,
-      CAST(CASE WHEN doc_id % 2 = 0 THEN 2 + doc_id % 4 END AS INT) AS height,
-      CAST(CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END AS INT) AS channels,
-      CAST(CASE WHEN doc_id % 2 = 1 THEN 16 + doc_id % 32 END AS INT)
-        AS n_samples,
-      CAST(CASE WHEN doc_id % 2 = 1 THEN 8000 + (doc_id % 3) * 4000 END AS INT)
-        AS sample_rate,
-      CAST(CASE WHEN doc_id % 2 = 0 THEN
-        list_sum(flatten(list_transform(range(0, 2 + doc_id % 6), x ->
-          flatten(list_transform(range(0, 2 + doc_id % 4), y ->
-            list_transform(range(0, 3), c ->
-              (doc_id * 31 + x * 7 + y * 13 + c * 97) % 256))))))
-      ELSE
-        list_sum(list_transform(range(0, 16 + doc_id % 32), i ->
-          abs(((doc_id * 7919 + i * 104729) % 65536) - 32768)))
+      CASE doc_id % 3 WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav'
+           ELSE 'video/x-frames' END AS mime,
+      CAST(CASE doc_id % 3 WHEN 0 THEN {W_PNG} WHEN 2 THEN {W_VID} END
+           AS INT) AS width,
+      CAST(CASE doc_id % 3 WHEN 0 THEN {H_PNG} WHEN 2 THEN {H_VID} END
+           AS INT) AS height,
+      CAST(CASE doc_id % 3 WHEN 1 THEN 1 ELSE 3 END AS INT) AS channels,
+      CAST(CASE doc_id % 3 WHEN 1 THEN {N_PCM} END AS INT) AS n_samples,
+      CAST(CASE doc_id % 3 WHEN 1 THEN 8000 + (doc_id % 3) * 4000 END
+           AS INT) AS sample_rate,
+      CAST(CASE doc_id % 3
+        WHEN 0 THEN {png_sum}
+        WHEN 1 THEN {wav_sum}
+        ELSE {vid_sum('range(0, 3)')}
       END AS BIGINT) AS payload_sum,
+      CAST(CASE doc_id % 3 WHEN 0 THEN {png_resized} END AS BIGINT)
+        AS resized_sum,
+      CAST(CASE doc_id % 3 WHEN 1 THEN ({N_PCM} + 2) // 3 WHEN 2 THEN 2 END
+           AS INT) AS n_sampled,
+      CAST(CASE doc_id % 3
+        WHEN 1 THEN {wav_sampled}
+        WHEN 2 THEN {vid_sum('[0, 2]')}
+      END AS BIGINT) AS sampled_sum,
+      CAST(CASE doc_id % 3 WHEN 2 THEN 3 END AS INT) AS n_frames,
       'decoded' AS decode_status
     FROM documents WHERE doc_id < 300 ORDER BY doc_id
-    """,
-)
+    """
+
+
+@q("mm_decode_stats", _mm_oracle())
 def _mm(spark, sf):
-    """Multimodal decode: REAL pure-stdlib PNG/WAV codecs — deterministic
-    blobs are byte-built on executors (real zlib-compressed PNGs, real
-    RIFF PCM), decoded back by the chunk-walking parsers, and the exact
-    pixel/amplitude sums are checked against a closed-form SQL oracle.
-    Binary plumbing per SURVEY §2 multimodal plan: mapInPandas over the
-    blob column, no shuffle."""
+    """Multimodal decode + transform: REAL pure-stdlib codecs over all
+    three modalities — PNG images (chunk walk, zlib inflate, scanline
+    unfiltering) with nearest-neighbor RESIZE to 2x2, RIFF/PCM16 audio
+    with every-3rd-sample FRAME-SAMPLING, and a frame container of PNG
+    frames with every-2nd-frame sampling.  Deterministic blobs are
+    byte-built on executors, decoded back by the parsers, and every exact
+    pixel/amplitude sum (full and transformed) is checked against a
+    closed-form SQL oracle.  Binary plumbing per SURVEY §2 multimodal
+    plan: mapInPandas over the blob column, no shuffle."""
     import pandas as pd
 
     from mysql_cdc_rs_spark.operators import multimodal as MM
@@ -2142,7 +2193,8 @@ def _mm(spark, sf):
             out = []
             for did in pdf["doc_id"]:
                 did = int(did)
-                if did % 2 == 0:
+                mode = did % 3
+                if mode == 0:
                     w, h = 2 + did % 6, 2 + did % 4
                     pixels = bytes(
                         (did * 31 + x * 7 + y * 13 + c * 97) % 256
@@ -2150,29 +2202,60 @@ def _mm(spark, sf):
                     )
                     blob = MM.encode_png(w, h, pixels)
                     status, st, _ = MM.decode_blob(blob, "image/png")
+                    # transform path: decode -> resize -> feature (sum)
+                    resized = MM.resize_nearest(w, h, 3, pixels, 2, 2)
                     out.append((did, "image/png", st["width"], st["height"],
-                                st["channels"], None, None,
-                                st["pixel_sum"], status))
-                else:
+                                st["channels"], None, None, st["pixel_sum"],
+                                sum(resized), None, None, None, status))
+                elif mode == 1:
                     n = 16 + did % 32
                     rate = 8000 + (did % 3) * 4000
                     samples = [((did * 7919 + i * 104729) % 65536) - 32768
                                for i in range(n)]
                     blob = MM.encode_wav(samples, sample_rate=rate)
                     status, st, _ = MM.decode_blob(blob, "audio/wav")
+                    sampled = MM.sample_pcm(samples, 3)
                     out.append((did, "audio/wav", None, None,
                                 st["channels"], st["n_samples"],
-                                st["sample_rate"], st["abs_sum"], status))
+                                st["sample_rate"], st["abs_sum"], None,
+                                len(sampled), sum(abs(s) for s in sampled),
+                                None, status))
+                else:
+                    w, h = 2 + did % 3, 2
+                    frames = []
+                    for f in range(3):
+                        px = bytes(
+                            (did * 31 + f * 17 + x * 7 + y * 13 + c * 97) % 256
+                            for y in range(h) for x in range(w)
+                            for c in range(3)
+                        )
+                        frames.append(MM.encode_png(w, h, px))
+                    blob = MM.encode_video(frames)
+                    status, st, _ = MM.decode_blob(blob, "video/x-frames")
+                    full = sum(
+                        MM.decode_png(fr)["pixel_sum"]
+                        for fr in MM.decode_video(blob)
+                    )
+                    sampled_frames = MM.sample_frames(blob, 2)
+                    samp = sum(
+                        MM.decode_png(fr)["pixel_sum"] for fr in sampled_frames
+                    )
+                    out.append((did, "video/x-frames", st["width"],
+                                st["height"], st["channels"], None, None,
+                                full, None, len(sampled_frames), samp,
+                                st["n_frames"], status))
             yield pd.DataFrame(out, columns=[
                 "doc_id", "mime", "width", "height", "channels",
-                "n_samples", "sample_rate", "payload_sum", "decode_status",
+                "n_samples", "sample_rate", "payload_sum", "resized_sum",
+                "n_sampled", "sampled_sum", "n_frames", "decode_status",
             ])
 
     return docs.mapInPandas(
         rt,
         schema="doc_id long, mime string, width int, height int, "
                "channels int, n_samples int, sample_rate int, "
-               "payload_sum long, decode_status string",
+               "payload_sum long, resized_sum long, n_sampled int, "
+               "sampled_sum long, n_frames int, decode_status string",
     ).orderBy("doc_id")
 
 

@@ -334,3 +334,40 @@ def test_multimodal_spark_plumbing(spark):
     assert got[2]["decode_status"] == "decode_error"
     assert got[3]["decode_status"] == "fallback_hash"
     assert all(len(r["feature"]) == 8 for r in got.values())
+
+
+def test_multimodal_transforms():
+    """Resize / audio frame-sample / video container + frame-sample — the
+    transform half of the SURVEY §2 multimodal plan."""
+    from mysql_cdc_rs_spark.operators import multimodal as MM
+
+    # nearest-neighbor resize: exact integer index map xi = xo*w // out_w
+    w, h = 4, 2
+    px = bytes(range(w * h * 3))  # 0..23
+    small = MM.resize_nearest(w, h, 3, px, 2, 2)
+    # out (0,0)->in (0,0); (1,0)->in (2,0); (0,1)->in (0,1); (1,1)->(2,1)
+    assert small == px[0:3] + px[6:9] + px[12:15] + px[18:21]
+    # upscale repeats pixels, never interpolates
+    big = MM.resize_nearest(1, 1, 3, b"\x05\x06\x07", 2, 2)
+    assert big == b"\x05\x06\x07" * 4
+
+    # PCM decimation
+    assert MM.sample_pcm([10, 11, 12, 13, 14, 15, 16], 3) == [10, 13, 16]
+
+    # video container round-trip + sampling + error surfacing
+    frames = [b"frame-%d" % i for i in range(5)]
+    blob = MM.encode_video(frames)
+    assert MM.decode_video(blob) == frames
+    assert MM.sample_frames(blob, 2) == [frames[0], frames[2], frames[4]]
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        MM.decode_video(b"NOPE" + blob[4:])
+    with _pytest.raises(ValueError):
+        MM.decode_video(blob[:-3])  # truncated last frame
+
+    # decode_blob dispatches the video mime with real frame stats
+    png = MM.encode_png(2, 2, bytes(range(12)))
+    vid = MM.encode_video([png, png, png])
+    status, st, feat = MM.decode_blob(vid, "video/x-frames")
+    assert status == "decoded"
+    assert st["n_frames"] == 3 and st["width"] == 2 and st["channels"] == 3
