@@ -96,6 +96,24 @@ def _split_top_level(body: str) -> list[str]:
     return parts
 
 
+def _parse_column_def(part: str) -> ColumnInfo | None:
+    cm = _COL_RE.match(part)
+    if not cm:
+        return None
+    args = tuple(
+        int(a) for a in (cm.group("args") or "").replace(" ", "").split(",")
+        if a
+    )
+    rest = cm.group("rest").upper()
+    return ColumnInfo(
+        name=cm.group("name"),
+        type_name=cm.group("type").upper(),
+        type_args=args,
+        nullable="NOT NULL" not in rest,
+        unsigned="UNSIGNED" in rest,
+    )
+
+
 def parse_create_table(sql: str) -> TableInfo | None:
     """CREATE TABLE ... -> TableInfo; None when the statement is not a
     parseable CREATE TABLE (caller already prefiltered cheaply)."""
@@ -116,21 +134,53 @@ def parse_create_table(sql: str) -> TableInfo | None:
         if up.startswith(("KEY ", "KEY(", "INDEX ", "UNIQUE ", "CONSTRAINT ",
                           "FOREIGN ")):
             continue
-        cm = _COL_RE.match(part)
-        if not cm:
+        col = _parse_column_def(part)
+        if col is not None:
+            info.columns.append(col)
+    return info
+
+
+# --- ALTER TABLE (the reference's second AST branch: AddColumn/DropColumn,
+#     /root/reference/binlog/src/ast/query_parser.rs:74-95) -----------------
+
+@dataclass
+class AlterInfo:
+    schema: str | None
+    table: str
+    add_columns: list[ColumnInfo] = field(default_factory=list)
+    drop_columns: list[str] = field(default_factory=list)
+
+
+_ALTER_RE = re.compile(
+    r"ALTER\s+TABLE\s+(?:`?(?P<schema>\w+)`?\.)?`?(?P<table>\w+)`?\s+"
+    r"(?P<body>.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_ADD_RE = re.compile(r"^ADD\s+(?:COLUMN\s+)?(?P<def>.+)$",
+                     re.IGNORECASE | re.DOTALL)
+_DROP_RE = re.compile(r"^DROP\s+(?:COLUMN\s+)?`?(?P<name>\w+)`?$",
+                      re.IGNORECASE)
+
+
+def parse_alter_table(sql: str) -> AlterInfo | None:
+    """ALTER TABLE ... ADD/DROP COLUMN ... -> AlterInfo; None otherwise.
+    Same cheap prefilter-then-parse split as parse_create_table; unhandled
+    operations (RENAME/CHANGE/ALTER COLUMN) are skipped, mirroring the
+    reference's todo-fallthrough (query_parser.rs:84-91)."""
+    if "ALTER TABLE" not in sql.upper():
+        return None
+    m = _ALTER_RE.search(sql)
+    if not m:
+        return None
+    info = AlterInfo(schema=m.group("schema"), table=m.group("table"))
+    for op in _split_top_level(m.group("body")):
+        am = _ADD_RE.match(op)
+        if am:
+            col = _parse_column_def(am.group("def"))
+            if col is not None:
+                info.add_columns.append(col)
             continue
-        args = tuple(
-            int(a) for a in (cm.group("args") or "").replace(" ", "").split(",")
-            if a
-        )
-        rest = cm.group("rest").upper()
-        info.columns.append(
-            ColumnInfo(
-                name=cm.group("name"),
-                type_name=cm.group("type").upper(),
-                type_args=args,
-                nullable="NOT NULL" not in rest,
-                unsigned="UNSIGNED" in rest,
-            )
-        )
+        dm = _DROP_RE.match(op)
+        if dm:
+            info.drop_columns.append(dm.group("name"))
     return info

@@ -1815,22 +1815,30 @@ def _a7(spark, sf):
            't_' || CAST(user_id AS VARCHAR) AS table_name,
            3 AS n_cols,
            CAST(10 + event_id % 90 AS INT) AS name_len,
-           'id' AS pk
+           'id' AS pk,
+           'extra_' || CAST(event_id % 7 AS VARCHAR) || ':BIGINT'
+             AS alter_add,
+           'old_' || CAST(event_id % 3 AS VARCHAR) AS alter_drop
     FROM events
     WHERE event_type = 'signup' AND event_id < 6000
     ORDER BY event_id
     """,
 )
 def _f7(spark, sf):
-    """P7/J2: DDL AST parse on executors — CREATE TABLE statements are
-    synthesized per signup event, parsed by the kernel's prefilter->parse
-    pipeline (kernel/ddl.py; parity /root/reference/binlog/src/column/
-    parse_ddl.rs), and the extracted (schema, table, columns, varchar arg,
-    pk) must equal the arithmetic oracle.  Non-DDL statements are
-    prefiltered without parsing (the reference's cost dodge)."""
+    """P7/J2: DDL AST parse on executors — CREATE TABLE and ALTER TABLE
+    statements are synthesized per signup event, parsed by the kernel's
+    prefilter->parse pipeline (kernel/ddl.py; parity
+    /root/reference/binlog/src/ast/query_parser.rs:63-95 — CreateTable
+    column defs AND AlterTable AddColumn/DropColumn operations), and the
+    extracted (schema, table, columns, varchar arg, pk, add/drop ops) must
+    equal the arithmetic oracle.  Non-DDL statements are prefiltered
+    without parsing (the reference's cost dodge)."""
     import pandas as pd
 
-    from mysql_cdc_rs_spark.kernel.ddl import parse_create_table
+    from mysql_cdc_rs_spark.kernel.ddl import (
+        parse_alter_table,
+        parse_create_table,
+    )
 
     ev = load(spark, sf, "events").filter(
         (F.col("event_type") == "signup") & (F.col("event_id") < 6000)
@@ -1851,19 +1859,28 @@ def _f7(spark, sf):
                 info = parse_create_table(stmt)
                 assert parse_create_table("SELECT 1") is None  # prefilter
                 name_col = next(c for c in info.columns if c.name == "name")
+                alter = parse_alter_table(
+                    f"ALTER TABLE db{uid % 5}.t_{uid} "
+                    f"ADD COLUMN `extra_{eid % 7}` BIGINT NOT NULL, "
+                    f"DROP COLUMN old_{eid % 3}"
+                )
+                assert parse_alter_table("SELECT 1") is None  # prefilter
+                add = alter.add_columns[0]
                 out.append((
                     eid, info.schema, info.table, len(info.columns),
                     name_col.type_args[0], ",".join(info.primary_key),
+                    f"{add.name}:{add.type_name}", alter.drop_columns[0],
                 ))
             yield pd.DataFrame(out, columns=[
                 "event_id", "schema_name", "table_name", "n_cols",
-                "name_len", "pk",
+                "name_len", "pk", "alter_add", "alter_drop",
             ])
 
     return ev.mapInPandas(
         rt,
         schema="event_id long, schema_name string, table_name string, "
-               "n_cols int, name_len int, pk string",
+               "n_cols int, name_len int, pk string, alter_add string, "
+               "alter_drop string",
     ).orderBy("event_id")
 
 

@@ -238,3 +238,28 @@ def test_bpe_pretokenizer_portable():
             f"SELECT len(regexp_extract_all('{lit}', '{sql_pat}'))"
         ).fetchone()[0]
         assert len(pat.findall(s)) == got, (s, pat.findall(s), got)
+
+
+def test_parse_alter_table():
+    """ALTER TABLE add/drop extraction (query_parser.rs:74-95 parity):
+    backticks, multi-op statements, unhandled ops skipped, prefilter."""
+    from mysql_cdc_rs_spark.kernel.ddl import parse_alter_table
+
+    a = parse_alter_table(
+        "ALTER TABLE `mydb`.`t1` ADD COLUMN `c1` VARCHAR(32) NOT NULL, "
+        "DROP COLUMN old1, ADD c2 DECIMAL(10,2), DROP `old2`, "
+        "RENAME COLUMN x TO y"
+    )
+    assert (a.schema, a.table) == ("mydb", "t1")
+    assert [(c.name, c.type_name, c.type_args) for c in a.add_columns] == [
+        ("c1", "VARCHAR", (32,)), ("c2", "DECIMAL", (10, 2)),
+    ]
+    assert a.add_columns[0].nullable is False
+    assert a.drop_columns == ["old1", "old2"]
+    # schema-less form
+    b = parse_alter_table("alter table t2 add column n INT UNSIGNED")
+    assert b.schema is None and b.table == "t2"
+    assert b.add_columns[0].unsigned is True
+    # prefilter: non-ALTER never parses
+    assert parse_alter_table("CREATE TABLE t (id INT)") is None
+    assert parse_alter_table("SELECT 1") is None
