@@ -1036,28 +1036,55 @@ def _p_routes(spark, sf):
              event_id - row_number() OVER (PARTITION BY user_id
                                            ORDER BY event_id) AS island
       FROM events
+    ),
+    iv AS (
+      SELECT user_id, island, min(event_id) AS s, max(event_id) AS e,
+             count(*) AS n
+      FROM islands GROUP BY user_id, island
     )
     SELECT user_id,
-           count(DISTINCT island) AS n_intervals,
-           count(*) AS n_ids,
-           min(event_id) AS min_id, max(event_id) AS max_id
-    FROM islands GROUP BY user_id ORDER BY user_id
+           count(*) AS n_intervals,
+           CAST(sum(n) AS BIGINT) AS n_ids,
+           min(s) AS min_id, max(e) AS max_id,
+           string_agg(CASE WHEN s = e THEN CAST(s AS VARCHAR)
+                           ELSE CAST(s AS VARCHAR) || '-' || CAST(e AS VARCHAR)
+                      END, ':' ORDER BY s) AS gtid_set
+    FROM iv GROUP BY user_id ORDER BY user_id
     """,
 )
 def _a8(spark, sf):
-    """A8: GTID-set interval merge — consecutive-id runs coalesce into
-    intervals (gaps-and-islands), the declarative twin of GtidSet::add
+    """A8: GTID-set interval merge AND canonical formatting — consecutive-id
+    runs coalesce into intervals (gaps-and-islands) and render as the
+    reference's interval-set string ("1-5:8:10-12"), the declarative twin
+    of GtidSet::add + to_string
     (/root/reference/binlog/src/metadata/gtid_manager.rs:80-138)."""
     ev = load(spark, sf, "events")
     w = Window.partitionBy("user_id").orderBy("event_id")
-    return (
+    iv = (
         ev.withColumn("island", F.col("event_id") - F.row_number().over(w))
-        .groupBy("user_id")
+        .groupBy("user_id", "island")
         .agg(
-            F.count_distinct("island").alias("n_intervals"),
-            F.count("*").alias("n_ids"),
-            F.min("event_id").alias("min_id"),
-            F.max("event_id").alias("max_id"),
+            F.min("event_id").alias("s"),
+            F.max("event_id").alias("e"),
+            F.count("*").alias("n"),
+        )
+    )
+    fmt = F.transform(
+        F.array_sort(F.collect_list(F.struct("s", "e"))),
+        lambda x: F.when(
+            x["s"] == x["e"], x["s"].cast("string")
+        ).otherwise(
+            F.concat(x["s"].cast("string"), F.lit("-"), x["e"].cast("string"))
+        ),
+    )
+    return (
+        iv.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_intervals"),
+            F.sum("n").alias("n_ids"),
+            F.min("s").alias("min_id"),
+            F.max("e").alias("max_id"),
+            F.array_join(fmt, ":").alias("gtid_set"),
         )
         .orderBy("user_id")
     )
