@@ -68,6 +68,51 @@ def curate(
     return quality.join(broadcast(drops), "doc_id", "left_anti")
 
 
+def curate_resumable(
+    pages: DataFrame,
+    catalog,
+    min_tokens: int = DEFAULT_MIN_TOKENS,
+) -> DataFrame:
+    """Checkpoint-resumable curation: the same decode -> quality gate ->
+    LSH near-dup drop as curate(), split into two CheckpointedStage units
+    ('curate_quality', 'curate_survivors') whose parquet outputs + lineage
+    manifests let a rerun skip completed stages — the batch analog of
+    resuming the reference's reader from a GTID checkpoint, and how the
+    100 TB job survives a mid-run failure without re-decoding the corpus.
+
+    Stage lineage is keyed on deterministic url-hash buckets, so it is
+    stable across runs AND across parallelism levels; any change to the
+    input (rows added/removed) changes the bucket histogram and forces a
+    recompute of the affected stage and everything after it.
+    """
+    from mysql_cdc_rs_spark.plans.checkpoint import CheckpointedStage
+
+    pages_b = pages.withColumn(
+        "url_bucket", F.pmod(F.xxhash64("url"), F.lit(256)).cast("int")
+    )
+
+    def quality_fn(df: DataFrame) -> DataFrame:
+        decoded = decode_pages(df.drop("url_bucket"))
+        doc_id = F.regexp_extract("url", r"/(\d+)$", 1).cast("long")
+        textful = decoded.filter(
+            F.col("event_type").isin("html", "plain")
+        ).select(doc_id.alias("doc_id"), "text", "url_bucket")
+        return textful.filter(F.size(words_of(F.col("text"))) >= min_tokens)
+
+    quality = CheckpointedStage(catalog, "curate_quality").run(
+        pages_b, quality_fn
+    )
+
+    def survivors_fn(qdf: DataFrame) -> DataFrame:
+        pairs = DD.lsh_candidate_pairs(qdf.select("doc_id", "text"))
+        drops = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+        return qdf.join(broadcast(drops), "doc_id", "left_anti")
+
+    return CheckpointedStage(catalog, "curate_survivors").run(
+        quality, survivors_fn
+    )
+
+
 def curation_report(pages: DataFrame, min_tokens: int = DEFAULT_MIN_TOKENS) -> dict:
     """Stage-by-stage exact counts (the per-sink metrics analog)."""
     decoded = decode_pages(pages).cache()

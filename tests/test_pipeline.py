@@ -197,3 +197,53 @@ def test_spark_submit_py_files_runs():
         res = json.loads(out.stdout.strip().splitlines()[-1])
         assert res["total"] == 500
         assert sum(res["route_counts"].values()) == 500
+
+
+def test_curate_resumable_skips_and_recomputes(spark, tmp_path):
+    """Checkpoint-resume for the composed curation pipeline: identical input
+    lineage -> both stages SKIP (fn never called again); changed input ->
+    recompute; results equal the non-resumable curate()."""
+    from mysql_cdc_rs_spark.plans.checkpoint import CheckpointedStage
+    from mysql_cdc_rs_spark.plans.training_pipeline import (
+        curate,
+        curate_resumable,
+    )
+    from mysql_cdc_rs_spark.sources.catalog import SinkCatalog
+
+    pages = pages_df(spark, 400, seed=42)
+    cat = SinkCatalog(spark, str(tmp_path / "cur"))
+
+    surv1 = curate_resumable(pages, cat)
+    ids1 = sorted(r["doc_id"] for r in surv1.select("doc_id").collect())
+    want = sorted(
+        r["doc_id"] for r in curate(pages).select("doc_id").collect()
+    )
+    assert ids1 == want and len(ids1) > 0
+
+    # generic stage contract: same lineage -> fn NOT called again
+    calls = {"n": 0}
+
+    def counting_fn(df):
+        calls["n"] += 1
+        return df.select("doc_id", "text", "url_bucket")
+
+    stage = CheckpointedStage(cat, "probe_stage")
+    q = cat.read("curate_quality")
+    stage.run(q, counting_fn)
+    stage.run(q, counting_fn)  # identical lineage -> skip
+    assert calls["n"] == 1
+
+    # rerun of the full resumable pipeline over identical input: same rows
+    surv2 = curate_resumable(pages, cat)
+    ids2 = sorted(r["doc_id"] for r in surv2.select("doc_id").collect())
+    assert ids2 == ids1
+
+    # changed input (rows removed) -> different bucket histogram -> recompute
+    # (deterministic subset — limit() would pick arbitrary rows per run)
+    fewer = pages.filter(F.pmod(F.xxhash64("url"), F.lit(4)) != 0)
+    surv3 = curate_resumable(fewer, cat)
+    ids3 = sorted(r["doc_id"] for r in surv3.select("doc_id").collect())
+    want3 = sorted(
+        r["doc_id"] for r in curate(fewer).select("doc_id").collect()
+    )
+    assert ids3 == want3
