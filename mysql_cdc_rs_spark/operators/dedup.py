@@ -69,10 +69,17 @@ def minhash_signatures(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
 
     ONE md5 base hash per shingle, then k integer (a*h + b) % p
     derivations — k=64 costs 1 hash + 64 multiply-adds per shingle, not 64
-    hashes.  Min-aggregations over the exploded shingles: one shuffle on
-    doc_id, map-side partial mins, no per-row Python.
+    hashes.  Min-aggregations over the exploded shingles: ONE shuffle on
+    doc_id, map-side partial mins, no per-row Python.  Deliberately NO
+    distinct on the exploded shingles: min() is idempotent to duplicates,
+    and the distinct would hash-repartition the largest intermediate of the
+    whole dedup path (the exploded corpus) for nothing.
     """
-    sh = shingled(docs).withColumn(
+    sh = docs.select(
+        "doc_id", words_of(F.col("text")).alias("words")
+    ).select(
+        "doc_id", F.explode(word_shingles("words", 3)).alias("shingle")
+    ).withColumn(
         "h", portable_hash60(F.col("shingle")) % F.lit(MERSENNE_P)
     )
     aggs = []
