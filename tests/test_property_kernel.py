@@ -277,3 +277,44 @@ def test_ws_collapse_equivalence(s):
     import re
 
     assert " ".join(s.split()) == re.sub(r"\s+", " ", s).strip()
+
+
+# --- full typed-row round-trip (incl. NewDate / typed Array / null bitmap) ----
+
+@given(
+    st.lists(
+        st.one_of(
+            st.none(),
+            st.integers(min_value=-(2**31), max_value=2**31 - 1),
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    st.lists(st.integers(min_value=-(2**15), max_value=2**15 - 1), max_size=6),
+    st.tuples(
+        st.integers(min_value=1000, max_value=9999),
+        st.integers(min_value=1, max_value=12),
+        st.integers(min_value=1, max_value=28),
+    ),
+)
+def test_row_roundtrip_property(longs, arr, nd):
+    """Any mix of nullable LONG cells + a typed SHORT array + a NewDate cell
+    round-trips through encode_row/decode_row with the null bitmap intact."""
+    from mysql_cdc_rs_spark.kernel import row_decoder as R
+
+    cells = [*longs, arr, nd]
+    types = [R.T_LONG] * len(longs) + [R.T_ARRAY, R.T_NEWDATE]
+    meta = [0] * len(longs) + [(R.T_SHORT << 16), 0]
+    out, pos = R.decode_row(R.encode_row(cells, types, meta), types, meta)
+    assert out == cells
+
+
+@given(st.binary(max_size=64))
+def test_decode_row_safe_total(buf):
+    """decode_row_safe never raises, whatever the bytes — it returns cells
+    or an error code (the F5 contract for the typed row decoder)."""
+    from mysql_cdc_rs_spark.kernel import row_decoder as R
+
+    types = [R.T_LONGLONG, R.T_DECIMAL, R.T_VARCHAR]
+    cells, err = R.decode_row_safe(buf, types, [0, 0, 64])
+    assert (cells is None) == (err is not None)
