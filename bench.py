@@ -289,10 +289,10 @@ def main() -> None:
             s.stop()
             return best_t
 
-        # two full rounds; quietest (least normalized work-time) reported,
+        # three full rounds; quietest (least normalized work-time) reported,
         # all rounds published — same noise discipline as the paired proto
         srounds = []
-        for _ in range(2):
+        for _ in range(3):
             t2 = _session_leg(2)
             t8 = _session_leg(8)
             srounds.append({
