@@ -247,3 +247,34 @@ def test_curate_resumable_skips_and_recomputes(spark, tmp_path):
         r["doc_id"] for r in curate(fewer).select("doc_id").collect()
     )
     assert ids3 == want3
+
+
+def test_pipeline_source_format_agnostic(spark, tmp_path):
+    """S2 breadth: the decode->enrich pipeline produces IDENTICAL routed
+    rows whether pages arrive as Parquet, ORC, or JSON-lines (binary html
+    round-trips JSON as base64 — Spark's codec, exercised here).  The
+    engine never assumes the source format; schema is the contract."""
+    pages = pages_df(spark, 300, seed=42)
+    want = (
+        enrich(decode_pages(pages))
+        .select("url", "route", "region", "text")
+    )
+
+    base = str(tmp_path)
+    pages.write.parquet(f"{base}/p.parquet")
+    pages.write.orc(f"{base}/p.orc")
+    pages.write.json(f"{base}/p.json")
+
+    schema = pages.schema
+    for fmt, path in [
+        ("parquet", f"{base}/p.parquet"),
+        ("orc", f"{base}/p.orc"),
+        ("json", f"{base}/p.json"),
+    ]:
+        back = spark.read.format(fmt).schema(schema).load(path)
+        got = enrich(decode_pages(back)).select(
+            "url", "route", "region", "text"
+        )
+        assert got.count() == 300, fmt
+        assert got.exceptAll(want).count() == 0, fmt
+        assert want.exceptAll(got).count() == 0, fmt
