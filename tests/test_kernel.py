@@ -263,3 +263,26 @@ def test_parse_alter_table():
     # prefilter: non-ALTER never parses
     assert parse_alter_table("CREATE TABLE t (id INT)") is None
     assert parse_alter_table("SELECT 1") is None
+
+
+def test_zstd_body_gated_to_error_route():
+    """Content-Encoding: zstd is decoded where the lib exists and takes the
+    error_decode route where it doesn't (this sandbox ships no zstandard) —
+    the F5 contract either way, never an exception."""
+    from mysql_cdc_rs_spark.kernel.decode import decode_page
+
+    body = b"\x28\xb5\x2f\xfd not really zstd"
+    raw = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/plain; charset=utf-8\r\n"
+        b"Content-Encoding: zstd\r\n"
+        b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n" + body
+    )
+    out = decode_page(raw)
+    try:
+        import zstandard  # noqa: F401
+        # lib present: garbage payload still must not crash
+        assert out["event_type"] in ("error_decode", "plain")
+    except ImportError:
+        assert out["event_type"] == "error_decode"
+        assert out["error"] == "BAD_GZIP"
+        assert out["route"] == "errors"

@@ -386,3 +386,37 @@ def test_socket_source_live_pages(spark):
     ).select("url", "route", "text")
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_metrics_listener_flush_errors_counted(spark):
+    """A failing metrics append must never propagate to (or stall) the
+    listener bus: rows buffer, the flush fails, the error is COUNTED."""
+    from mysql_cdc_rs_spark.operators.monitoring import MetricsListener
+
+    class BadCatalog:
+        def __init__(self, s):
+            self.spark = s
+
+        def append(self, df, table):
+            raise RuntimeError("sink unavailable")
+
+    lst = MetricsListener(BadCatalog(spark))
+
+    class _Progress:
+        name = "q"
+        id = "qid"
+        numInputRows = 3
+        batchId = 1
+        processedRowsPerSecond = 1.5
+        timestamp = "2026-01-01T00:00:00Z"
+
+    class _Event:
+        progress = _Progress()
+
+    lst.onQueryProgress(_Event())  # buffers only — must not raise
+    lst.flush()
+    assert lst.flush_errors == 1
+    # and a second batch keeps flowing into the buffer without issue
+    lst.onQueryProgress(_Event())
+    lst.flush()
+    assert lst.flush_errors == 2
