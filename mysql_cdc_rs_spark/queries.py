@@ -2679,11 +2679,10 @@ _PRIORITY = [
 
 def _reorder_registry() -> None:
     global QUERIES, ORACLES
+    unknown = set(_PRIORITY) - set(QUERIES)
+    assert not unknown, f"priority list names unknown queries: {unknown}"
     leftovers = [n for n in QUERIES if n not in _PRIORITY]
     order = [n for n in _PRIORITY if n in QUERIES] + leftovers
-    assert set(order) == set(QUERIES), (
-        f"priority list out of sync: extra={set(_PRIORITY) - set(QUERIES)}"
-    )
     QUERIES = {n: QUERIES[n] for n in order}
     ORACLES = {n: ORACLES[n] for n in order if n in ORACLES}
 
