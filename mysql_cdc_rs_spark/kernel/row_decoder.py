@@ -13,6 +13,7 @@ doesn't need it, but reference users decoding actual row events do.
 
 from __future__ import annotations
 
+import struct
 from typing import Any
 
 from mysql_cdc_rs_spark.kernel import mysql_decimal, temporal, varint
@@ -84,7 +85,11 @@ def decode_row_safe(
         return cells, None
     except UnsupportedColumnType as e:
         return None, f"UNSUPPORTED_TYPE_{e.type_code}"
-    except (ValueError, IndexError):
+    except (ValueError, IndexError, KeyError, struct.error):
+        # struct.error: truncated FLOAT/DOUBLE cell (not a ValueError
+        # subclass); KeyError: garbage JSONB type tags inside parse_jsonb.
+        # Both are malformed-input shapes, so they take the same error-row
+        # route as any other truncation.
         return None, "TRUNCATED_ROW"
 
 

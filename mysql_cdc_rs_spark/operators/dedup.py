@@ -181,24 +181,68 @@ def _pairs_expr(ids_col: str):
     )
 
 
-def ngram_jaccard_pairs(docs: DataFrame, min_jaccard: float = 0.0) -> DataFrame:
-    """Exact word-3-gram Jaccard for docs sharing >=1 shingle.
+def shared_shingle_inter(
+    docs: DataFrame, max_bucket: int = MAX_BUCKET
+) -> DataFrame:
+    """(doc_a, doc_b, n_inter) for docs sharing >=1 shingle — the standalone
+    feed of the Jaccard verifier.
 
-    At full scale this runs ONLY on lsh_candidate_pairs output; expressed
-    here over shared-shingle pairs so the small-SF oracle is exact.
+    Same degenerate-group discipline as lsh_candidate_pairs: a stop-word
+    3-gram shared by millions of docs would otherwise explode O(n^2) pairs
+    in one group, so membership is HARD-CAPPED at ``max_bucket`` lowest
+    doc_ids per shingle (row_number sharing the groupBy partitioning — the
+    cap costs a sort, not a shuffle).  For pairs whose docs both survive
+    every cap the count is exact; docs shed by a cap contribute nothing for
+    that shingle — bounded work is the contract, exactness holds whenever
+    no group exceeds the cap.
     """
     sh = shingled(docs)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    # shared-shingle pairs without a self-join: groupBy shingle -> member
-    # list -> in-group pair explosion (same shape as lsh_candidate_pairs).
-    inter = (
-        sh.groupBy("shingle")
+    w = Window.partitionBy("shingle").orderBy("doc_id")
+    bounded = sh.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= max_bucket
+    )
+    return (
+        bounded.groupBy("shingle")
         .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
         .where(F.size("ids") >= 2)
         .select(F.explode(_pairs_expr("ids")).alias("p"))
         .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .agg(F.count("*").alias("n_inter"))
     )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    min_jaccard: float = 0.0,
+    candidates: DataFrame | None = None,
+    max_bucket: int = MAX_BUCKET,
+) -> DataFrame:
+    """Exact word-3-gram Jaccard verifier.
+
+    Two modes:
+    - ``candidates`` given — the 100 TB shape: exact Jaccard is computed
+      ONLY for the supplied (doc_a, doc_b) pairs (lsh_candidate_pairs
+      output is the natural feed), via two equi-joins of the pairs against
+      the shingle rows.  Work is O(|candidates| * shingles-per-doc), never
+      corpus-quadratic.
+    - standalone — small-SF exactness over shared-shingle pairs, with the
+      ``max_bucket`` cap enforced (see shared_shingle_inter): a degenerate
+      common shingle cannot explode the group.
+    """
+    sh = shingled(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    if candidates is not None:
+        cand = candidates.select("doc_a", "doc_b").distinct()
+        a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+        b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+        inter = (
+            cand.join(a, "doc_a")
+            .join(b, ["doc_b", "shingle"])
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("n_inter"))
+        )
+    else:
+        inter = shared_shingle_inter(docs, max_bucket)
     out = (
         inter.join(sizes.withColumnRenamed("doc_id", "doc_a").alias("sa"), "doc_a")
         .withColumnRenamed("n_sh", "n_a")

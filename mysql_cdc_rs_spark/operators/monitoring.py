@@ -162,7 +162,12 @@ class MetricsListener:
                     df = catalog.spark.createDataFrame(rows, METRICS_SCHEMA)
                     catalog.append(df, table)
                 except Exception:  # noqa: BLE001 — metrics must never kill
-                    self.flush_errors += 1  # the stream; count, don't raise
+                    # the stream; count, don't raise.  The counter is bumped
+                    # UNDER the lock: both the daemon drain thread and direct
+                    # flush() callers land here, and += on an attribute is
+                    # not atomic across threads.
+                    with self._lock:
+                        self.flush_errors += 1
 
             def onQueryStarted(self, event):
                 pass
@@ -171,8 +176,11 @@ class MetricsListener:
                 pass
 
             def onQueryTerminated(self, event):
-                # final drain request for rows buffered after the last batch
-                self._wake.set()
+                # Drain SYNCHRONOUSLY: rows buffered after the last batch
+                # would be lost if the session/JVM exits before the daemon
+                # thread's next wakeup.  Termination is off the hot path, so
+                # paying the write here is safe (and flush() never raises).
+                self.flush()
 
             def onQueryProgress(self, event):
                 p = event.progress

@@ -309,21 +309,61 @@ def ivf_assign(corpus: DataFrame, centroids: DataFrame) -> DataFrame:
     At 10^12 scale the assignment is a one-off build job and the centroid id
     becomes the table's physical partition key; queries probe one (or a few)
     centroid partitions — partition pruning does the candidate cut.
-    Centroids broadcast; the corpus is scanned once, never shuffled.
+
+    Scale shape (the round-3 formulation crossJoined corpus x k then took a
+    row_number window over vec_id — a full shuffle of a k-expanded corpus
+    just to compute an argmax): the codebook is collapsed to ONE row (an
+    array of k (cent_id, embedding) structs, broadcast — k*dim values,
+    bounded by construction like the reference's LRU caches), and the
+    argmax-cosine is a transform + fold PROJECTION per corpus row.  The
+    corpus is scanned once, never expanded, never shuffled; no Window.
+
+    The per-centroid cosine uses the exact same double arithmetic as
+    ``cosine()`` (sequential zip_with/aggregate folds), so assignments are
+    bit-identical to the former window formulation and to the SQL oracles.
+    Ties break to the lowest cent_id (struct array is sorted by cent_id and
+    the fold keeps the incumbent on equal sim).
     """
-    c = centroids.select(
-        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_emb")
+    # centroid norms are computed ONCE on the k-row side (sqrt of the same
+    # sequential fold cosine() uses) and travel inside the codebook structs
+    # — inlining sqrt(dot(cemb,cemb)) in the per-row lambda would re-fold
+    # it per corpus row x per centroid after projection collapse
+    codebook = centroids.select(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("vec_id").alias("cid"),
+                    F.col("embedding").alias("cemb"),
+                    F.sqrt(
+                        _dot(F.col("embedding"), F.col("embedding"))
+                    ).alias("nc"),
+                )
+            )
+        ).alias("cents")
     )
-    scored = corpus.crossJoin(broadcast(c)).withColumn(
-        "cent_sim", cosine(F.col("embedding"), F.col("cent_emb"))
+    # the corpus-vector norm is attached BELOW the join: a withColumn above
+    # it would be collapsed into the transform lambda and re-folded once
+    # per centroid; as a join-input attribute it is computed once per row
+    withne = corpus.withColumn(
+        "_ne", F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
     )
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("cent_sim").desc(), F.col("cent_id").asc()
+    scored = withne.crossJoin(broadcast(codebook))
+    sims = F.expr(
+        "transform(cents, c -> struct(c.cid AS cid, "
+        "  aggregate(zip_with(embedding, c.cemb, "
+        "            (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "            CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) "
+        "  / (_ne * c.nc) AS sim))"
     )
-    return (
-        scored.withColumn("r", F.row_number().over(w))
-        .where(F.col("r") == 1)
-        .select("vec_id", "embedding", "cent_id")
+    best = F.aggregate(
+        sims,
+        F.lit(None).cast("struct<cid:bigint,sim:double>"),
+        lambda b, x: F.when(
+            b.isNull() | (x["sim"] > b["sim"]), x
+        ).otherwise(b),
+    )
+    return scored.withColumn("_best", best).select(
+        "vec_id", "embedding", F.col("_best.cid").alias("cent_id")
     )
 
 

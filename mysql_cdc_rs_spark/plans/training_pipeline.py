@@ -15,15 +15,19 @@ materialization:
 
 Scale shape: the only shuffles are the dedup groupBys (doc_id, bucket) —
 the quality gate and decode are shuffle-free; candidate-pair generation is
-bucket-local (no O(n^2)); the drop set is tiny relative to the corpus and
-is applied with a broadcastable left-anti join.
+bucket-local (no O(n^2)); the drop set is applied with a plain hash
+left-anti join on doc_id.  The drop set is NOT broadcast: its size is
+proportional to the corpus's near-dup mass (20-40%+ on web corpora), so a
+forced broadcast would OOM the driver exactly when dedup matters most.
+Declaring the join and letting AQE pick the strategy gives the best of
+both — a runtime broadcast when drops genuinely is small, a shuffled hash
+join on the uniform doc_id key otherwise.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.functions import broadcast
 
 from mysql_cdc_rs_spark.functions.text import words_of
 from mysql_cdc_rs_spark.operators import dedup as DD
@@ -63,9 +67,26 @@ def curate(
 
     pairs = DD.lsh_candidate_pairs(quality)
     # keep-first policy: any doc that is the HIGHER member of a candidate
-    # pair is a near-duplicate of an earlier doc -> dropped
+    # pair is a near-duplicate of an earlier doc -> dropped.  No broadcast
+    # hint: drops scales with the corpus's dup mass (see module docstring).
     drops = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
-    return quality.join(broadcast(drops), "doc_id", "left_anti")
+    survivors = quality.join(drops, "doc_id", "left_anti")
+    # hand the persist lifecycle to the caller: release(survivors) after
+    # the consuming action, or the cached quality plan outlives the run
+    survivors._curate_persisted = quality
+    return survivors
+
+
+def release(survivors: DataFrame) -> None:
+    """Unpersist the intermediate quality corpus cached by ``curate``.
+
+    ``curate`` must persist lazily (its result is consumed by callers it
+    does not control), so it cannot unpersist itself; call this after the
+    consuming action or a long-lived session (bench loop, notebook)
+    accumulates one cached plan per invocation."""
+    q = getattr(survivors, "_curate_persisted", None)
+    if q is not None:
+        q.unpersist()
 
 
 def curate_resumable(
@@ -106,7 +127,7 @@ def curate_resumable(
     def survivors_fn(qdf: DataFrame) -> DataFrame:
         pairs = DD.lsh_candidate_pairs(qdf.select("doc_id", "text"))
         drops = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
-        return qdf.join(broadcast(drops), "doc_id", "left_anti")
+        return qdf.join(drops, "doc_id", "left_anti")
 
     return CheckpointedStage(catalog, "curate_survivors").run(
         quality, survivors_fn
@@ -129,4 +150,5 @@ def curation_report(pages: DataFrame, min_tokens: int = DEFAULT_MIN_TOKENS) -> d
         "survivors": survivors.count(),
     }
     decoded.unpersist()
+    release(survivors)
     return out

@@ -667,10 +667,18 @@ def _dlsh(spark, sf):
     _SH_CTE
     + """
     , sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    -- capped shared-shingle groups: 512 LOWEST doc_ids per shingle, the
+    -- exact rule of dedup.shared_shingle_inter (and dedup_lsh_pairs)
+    capped AS (
+      SELECT list_sort(list(doc_id))[1:512] AS ids
+      FROM sh GROUP BY shingle HAVING count(*) >= 2
+    ),
     inter AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
-      FROM sh a JOIN sh b ON a.shingle = b.shingle
-      WHERE a.doc_id < b.doc_id
+      SELECT p[1] AS doc_a, p[2] AS doc_b, count(*) AS n_inter FROM (
+        SELECT unnest(flatten(list_transform(range(1, len(ids)), i ->
+                 list_transform(ids[i+1:], y -> [ids[i], y])))) AS p
+        FROM capped
+      )
       GROUP BY 1, 2
     )
     SELECT doc_a, doc_b, n_inter,
@@ -684,17 +692,12 @@ def _dlsh(spark, sf):
     """,
 )
 def _djac(spark, sf):
-    sh = DD.shingled(load(spark, sf, "documents"))
+    docs = load(spark, sf, "documents")
+    sh = DD.shingled(docs)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    inter = (
-        sh.groupBy("shingle")
-        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
-        .where(F.size("ids") >= 2)
-        .select(F.explode(DD._pairs_expr("ids")).alias("p"))
-        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
-        .agg(F.count("*").alias("n_inter"))
-        .filter(F.col("n_inter") >= 3)
-    )
+    # the CAPPED shared-shingle feed (dedup.shared_shingle_inter): parity
+    # holds because the oracle applies the identical 512-lowest-ids cap
+    inter = DD.shared_shingle_inter(docs).filter(F.col("n_inter") >= 3)
     sa = sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a")
     sb = sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b")
     jac = F.col("n_inter").cast("double") / (
@@ -2611,9 +2614,11 @@ def _ann_ivf_np2(spark, sf):
 # Driver-budget ordering: the driver runs queries in REGISTRATION order and
 # caps the set (CORRECTNESS_r02 held exactly the first 50 of 57), which
 # silently dropped the composed-pipeline gate and four new operators.  The
-# registry is consolidated to 49 queries (multi-column merges, same
-# coverage) and re-ranked so the highest-information gates run first no
-# matter where a cap lands.  Every registered query appears exactly once.
+# registry is consolidated to 50 queries (49 multi-column merges + the
+# nprobe=2 recall query, same coverage) and re-ranked so the
+# highest-information gates run first no matter where a cap lands: a cap of
+# 50 runs everything, and any lower cap sheds the least-information tail
+# first.  Every registered query appears exactly once.
 # =========================================================================
 
 _PRIORITY = [

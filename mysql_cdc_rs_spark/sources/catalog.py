@@ -46,14 +46,20 @@ class SinkCatalog:
     def _path(self, table: str) -> str:
         return os.path.join(self.base, table)
 
+    def _ident(self, table: str) -> str:
+        """Catalog-qualified Iceberg table identifier for a route table."""
+        return f"sink.{table}"
+
     def append(self, df, table: str, partition_by: list[str] | None = None) -> None:
         if self.use_iceberg:
-            writer = df.writeTo(f"sink.{table}")
+            # transactional append — the relay-segment atomic-append analog
+            # (relay_log_storage.rs:85-124): readers never see a torn write
+            writer = df.writeTo(self._ident(table))
             if partition_by:
                 writer = writer.partitionedBy(*partition_by)
             # append semantics: createOrReplace would DROP prior appends.
             # Only create the table on first write.
-            if self.spark.catalog.tableExists(f"sink.{table}"):
+            if self.spark.catalog.tableExists(self._ident(table)):
                 writer.append()
             else:
                 writer.create()
@@ -64,15 +70,30 @@ class SinkCatalog:
         w.parquet(self._path(table))
 
     def overwrite(self, df, table: str, partition_by: list[str] | None = None) -> None:
+        if self.use_iceberg:
+            writer = df.writeTo(self._ident(table))
+            if partition_by:
+                writer = writer.partitionedBy(*partition_by)
+            # dynamic-partition overwrite: replaces exactly the partitions
+            # present in df (the whole table when unpartitioned), atomically
+            if self.spark.catalog.tableExists(self._ident(table)):
+                writer.overwritePartitions()
+            else:
+                writer.create()
+            return
         w = df.write.mode("overwrite")
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(self._path(table))
 
     def read(self, table: str):
+        if self.use_iceberg:
+            return self.spark.read.table(self._ident(table))
         return self.spark.read.parquet(self._path(table))
 
     def exists(self, table: str) -> bool:
+        if self.use_iceberg:
+            return self.spark.catalog.tableExists(self._ident(table))
         p = self._path(table)
         return os.path.isdir(p) and any(
             f.endswith(".parquet") or f == "_SUCCESS" for f in os.listdir(p)

@@ -187,6 +187,48 @@ def test_lsh_degenerate_bucket_is_capped(spark):
     assert stats["n_rows_dropped_by_cap"] == DD.LSH_BANDS * 90
 
 
+def test_ngram_jaccard_degenerate_shingle_is_capped(spark):
+    """60 docs all sharing one identical 3-gram: the standalone verifier's
+    shared-shingle group is capped, so the pair count is bounded at
+    C(max_bucket, 2) — a common stop-word shingle cannot explode O(n^2)."""
+    from mysql_cdc_rs_spark.operators import dedup as DD
+
+    docs = spark.createDataFrame(
+        [(i, f"common shared trigram unique{i} filler{i} words{i}")
+         for i in range(60)],
+        "doc_id long, text string",
+    )
+    pairs = DD.ngram_jaccard_pairs(docs, max_bucket=6).collect()
+    assert len(pairs) == 15  # C(6,2): only the 6 lowest doc_ids pair up
+    assert {x for r in pairs for x in (r["doc_a"], r["doc_b"])} == set(range(6))
+    # uncapped-enough run still finds every pair exactly
+    full = DD.ngram_jaccard_pairs(docs, max_bucket=512).collect()
+    assert len(full) == 60 * 59 // 2
+
+
+def test_ngram_jaccard_on_candidates(spark):
+    """candidates mode: exact Jaccard computed ONLY for the supplied pairs
+    (the LSH-feed shape at scale), values identical to the standalone run."""
+    from mysql_cdc_rs_spark.operators import dedup as DD
+
+    base = "the quick brown fox jumps over the lazy dog again and again " * 3
+    docs = spark.createDataFrame(
+        [(1, base), (2, base + "extra tail words here"),
+         (3, "completely different content with no overlap at all " * 3),
+         (4, base + "another variant suffix")],
+        "doc_id long, text string",
+    )
+    cand = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    got = DD.ngram_jaccard_pairs(docs, candidates=cand).collect()
+    assert [(r["doc_a"], r["doc_b"]) for r in got] == [(1, 2)]
+    standalone = {
+        (r["doc_a"], r["doc_b"]): (r["n_inter"], r["jaccard"])
+        for r in DD.ngram_jaccard_pairs(docs).collect()
+    }
+    assert (got[0]["n_inter"], got[0]["jaccard"]) == standalone[(1, 2)]
+    assert (1, 4) in standalone  # standalone sees pairs candidates omitted
+
+
 def test_emb_neardup_capped_and_single_scan(spark):
     from mysql_cdc_rs_spark.operators import similarity as SIM
 

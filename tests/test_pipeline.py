@@ -98,6 +98,104 @@ def test_routing_fanout_and_equality(spark, pages):
         assert m["counts"] == counts and m["total"] == N
 
 
+def test_iceberg_branch_issues_writeTo_calls(monkeypatch):
+    """The Iceberg leg of SinkCatalog, exercised WITHOUT the runtime jar
+    (absent in this sandbox): a spy DataFrame/session records exactly which
+    DataFrameWriterV2 calls each operation issues against which table
+    identifier.  This is the transactional-append parity surface
+    (/root/reference/relay_log/src/storage/relay_log_storage.rs:85-124);
+    the Parquet leg stays the executed path everywhere else."""
+    from mysql_cdc_rs_spark.sources import catalog as C
+
+    calls: list[tuple] = []
+
+    class SpyWriter:
+        def __init__(self, ident):
+            self.ident = ident
+
+        def partitionedBy(self, *cols):
+            calls.append(("partitionedBy", self.ident, cols))
+            return self
+
+        def append(self):
+            calls.append(("append", self.ident))
+
+        def create(self):
+            calls.append(("create", self.ident))
+
+        def overwritePartitions(self):
+            calls.append(("overwritePartitions", self.ident))
+
+    class SpyDF:
+        def writeTo(self, ident):
+            calls.append(("writeTo", ident))
+            return SpyWriter(ident)
+
+    class SpyCatalog:
+        def __init__(self):
+            self.tables: set[str] = set()
+
+        def tableExists(self, ident):
+            return ident in self.tables
+
+    class SpyRead:
+        def table(self, ident):
+            calls.append(("read.table", ident))
+            return f"df:{ident}"
+
+    class SpySpark:
+        def __init__(self):
+            self.catalog = SpyCatalog()
+            self.read = SpyRead()
+
+    monkeypatch.setattr(C, "_iceberg_available", lambda spark: True)
+    with tempfile.TemporaryDirectory() as base:
+        spark = SpySpark()
+        cat = C.SinkCatalog(spark, base, use_iceberg=True)
+        assert cat.use_iceberg  # probe said yes -> branch stays on
+
+        # first append -> create (createOrReplace would drop prior appends)
+        cat.append(SpyDF(), "events", partition_by=["route"])
+        assert calls == [
+            ("writeTo", "sink.events"),
+            ("partitionedBy", "sink.events", ("route",)),
+            ("create", "sink.events"),
+        ]
+        calls.clear()
+
+        # table now exists -> subsequent append is a transactional append
+        spark.catalog.tables.add("sink.events")
+        cat.append(SpyDF(), "events")
+        assert calls == [("writeTo", "sink.events"), ("append", "sink.events")]
+        calls.clear()
+
+        # overwrite on an existing table -> dynamic partition overwrite
+        cat.overwrite(SpyDF(), "events", partition_by=["route"])
+        assert calls == [
+            ("writeTo", "sink.events"),
+            ("partitionedBy", "sink.events", ("route",)),
+            ("overwritePartitions", "sink.events"),
+        ]
+        calls.clear()
+
+        # overwrite on a missing table -> create
+        cat.overwrite(SpyDF(), "metrics")
+        assert calls == [("writeTo", "sink.metrics"), ("create", "sink.metrics")]
+        calls.clear()
+
+        # reads and existence go through the catalog, not the filesystem
+        assert cat.read("events") == "df:sink.events"
+        assert cat.exists("events") and not cat.exists("nope")
+
+
+def test_iceberg_probe_falls_back_without_jar(spark):
+    """In this sandbox the probe must say no and the catalog must land on
+    the executed Parquet leg even when Iceberg is requested."""
+    with tempfile.TemporaryDirectory() as base:
+        cat = SinkCatalog(spark, base, use_iceberg=True)
+        assert not cat.use_iceberg
+
+
 def test_pipeline_resume(spark, pages):
     with tempfile.TemporaryDirectory() as base:
         cat = SinkCatalog(spark, base)

@@ -158,6 +158,78 @@ def test_explain_snapshots_carry_invariants():
     # are the physical invariant)
     curate = read("training_curate_survivors.txt")
     assert curate.count("InMemoryTableScan") >= 2
+    # the survivors anti-join exists and is planner-chosen (the live test
+    # test_curate_anti_join_not_forced_broadcast pins hint-freeness)
+    assert "LeftAnti" in curate
+
+
+def test_curate_anti_join_not_forced_broadcast(spark):
+    """The survivors anti-join must NOT carry a broadcast hint: the drop set
+    scales with the corpus's near-dup mass (20-40%+ on web corpora), so a
+    forced broadcast OOMs at 10^12 docs exactly when dedup matters.  The
+    strategy is left to the planner — stats/AQE broadcast a genuinely small
+    drop set and shuffle-join a large one.  Proven two ways: no ResolvedHint
+    in the analyzed plan, and with auto-broadcast disabled (the 100 TB
+    stats regime, where the pairs subtree estimate is huge) the planner
+    freely picks a shuffled SortMergeJoin for the LeftAnti."""
+    from mysql_cdc_rs_spark.plans.training_pipeline import curate, release
+    from mysql_cdc_rs_spark.sources.pages_from_documents import pages_from_documents
+
+    pages = pages_from_documents(spark, SF)
+    surv = curate(pages)
+    analyzed = surv._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed and "UnresolvedHint" not in analyzed
+    release(surv)
+
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        surv2 = curate(pages)
+        plan = surv2._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "simple"
+            )
+        )
+        anti_lines = [ln for ln in plan.splitlines() if "LeftAnti" in ln]
+        assert anti_lines, "curate lost its anti-join"
+        assert all("SortMergeJoin" in ln for ln in anti_lines)
+        assert not any("Broadcast" in ln for ln in anti_lines)
+        release(surv2)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+
+
+def test_ivf_assign_no_corpus_shuffle(spark):
+    """ivf_assign is a pure projection over ONE corpus scan: the codebook
+    collapses to a single broadcast row and the argmax-cosine is a
+    transform+fold — no Window, no Exchange over the corpus, no kx row
+    expansion (the round-3 formulation crossJoined corpus x k and shuffled
+    it through a row_number window)."""
+    from pyspark.sql import functions as F
+
+    from mysql_cdc_rs_spark.operators.similarity import ivf_assign
+    from mysql_cdc_rs_spark.sources.testdata import load
+
+    emb = load(spark, SF, "embeddings")
+    cents = emb.filter(F.col("vec_id") % 50 == 0)
+    assigned = ivf_assign(emb, cents)
+    plan = assigned._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "simple"
+        )
+    )
+    assert "Window" not in plan
+    # only two Exchange nodes exist and BOTH sit on the k-row centroid
+    # side: the SinglePartition collect_list shuffle + its broadcast
+    assert plan.count("Exchange") == 2
+    assert "BroadcastExchange IdentityBroadcastMode" in plan
+    assert "Exchange SinglePartition" in plan
+    # the corpus-vector norm is folded once per row BELOW the join, not
+    # re-folded per centroid inside the argmax lambda
+    top_project = next(
+        ln for ln in plan.splitlines() if "cent_id" in ln and "Project" in ln
+    )
+    assert "SQRT" not in top_project
 
 
 def test_ivf_cell_partition_pruning(spark, tmp_path):

@@ -318,3 +318,28 @@ def test_decode_row_safe_total(buf):
     types = [R.T_LONGLONG, R.T_DECIMAL, R.T_VARCHAR]
     cells, err = R.decode_row_safe(buf, types, [0, 0, 64])
     assert (cells is None) == (err is not None)
+
+
+@given(st.binary(max_size=64))
+def test_decode_row_safe_total_float_json(buf):
+    """Totality must also hold for FLOAT/DOUBLE (struct.error is not a
+    ValueError) and JSONB (garbage type tags surface as KeyError from
+    parse_jsonb) — the cell layouts that historically escaped the contract."""
+    from mysql_cdc_rs_spark.kernel import row_decoder as R
+
+    types = [R.T_DOUBLE, R.T_FLOAT, R.T_JSON]
+    cells, err = R.decode_row_safe(buf, types, [0, 0, 4])
+    assert (cells is None) == (err is not None)
+
+
+def test_decode_row_safe_truncated_double_and_garbage_json():
+    """The two concrete escapes from the round-3 advisory: a truncated
+    DOUBLE cell and a garbage JSONB payload both return error rows."""
+    from mysql_cdc_rs_spark.kernel import row_decoder as R
+
+    cells, err = R.decode_row_safe(b"\x00\x01\x02", [R.T_DOUBLE], [0])
+    assert cells is None and err == "TRUNCATED_ROW"
+    # null bitmap 0x00, 4-byte length prefix, then an invalid jsonb body
+    bad_json = b"\x00" + (5).to_bytes(4, "little") + b"\xee\x01\x02\x03\x04"
+    cells, err = R.decode_row_safe(bad_json, [R.T_JSON], [4])
+    assert cells is None and err == "TRUNCATED_ROW"
