@@ -57,8 +57,12 @@ CHARSET_MAP: dict[str, str] = {
 
 DEFAULT_CHARSET = "utf-8"
 
-# charset=<token> inside a Content-Type header value.
+# charset=<token> inside a Content-Type header value (bytes + str twins:
+# header values arrive pre-decoded from parse_record, raw bytes from direct
+# callers; the token class is pure ASCII so the two match identically —
+# lossy-decoded U+FFFD can no more be part of a token than the raw byte).
 _CT_CHARSET_RE = re.compile(rb"charset\s*=\s*\"?([A-Za-z0-9_\-]+)\"?", re.IGNORECASE)
+_CT_CHARSET_RE_S = re.compile(r"charset\s*=\s*\"?([A-Za-z0-9_\-]+)\"?", re.IGNORECASE)
 # <meta charset="..."> or <meta http-equiv=... content="...; charset=...">
 _META_CHARSET_RE = re.compile(
     rb"<meta[^>]+charset\s*=\s*[\"']?([A-Za-z0-9_\-]+)", re.IGNORECASE
@@ -67,6 +71,11 @@ _META_CHARSET_RE = re.compile(
 # Only sniff the head of the body — mirrors browsers and keeps the kernel O(1)
 # per row regardless of page size.
 SNIFF_WINDOW = 1024
+
+# bounded content-type -> header-sniff-outcome cache (see sniff_charset);
+# the reference's conversion cache analog (charset.rs:38-200)
+_CT_SNIFF_CACHE: dict = {}
+_MISS = object()
 
 
 def normalize_charset(token: str | bytes | None) -> str | None:
@@ -85,7 +94,9 @@ def normalize_charset(token: str | bytes | None) -> str | None:
     return CHARSET_MAP.get(token.strip().lower())
 
 
-def sniff_charset(content_type: bytes | None, body: bytes) -> tuple[str, str]:
+def sniff_charset(
+    content_type: bytes | str | None, body: bytes
+) -> tuple[str, str]:
     """Resolve the charset for a page body.
 
     Resolution order (deterministic):
@@ -98,12 +109,31 @@ def sniff_charset(content_type: bytes | None, body: bytes) -> tuple[str, str]:
     row can report what it saw.
     """
     if content_type:
-        m = _CT_CHARSET_RE.search(content_type)
-        if m:
-            codec = normalize_charset(m.group(1))
-            if codec is not None:
-                return codec, "header"
-            return m.group(1).decode("ascii", "replace").lower(), "unknown"
+        # content-type values repeat across a corpus; the header-only
+        # outcome ("header"/"unknown", or None = defer to the body) is a
+        # pure function of the value, so it is cached (bounded).  The
+        # meta/default outcomes depend on body bytes and are never cached.
+        hit = _CT_SNIFF_CACHE.get(content_type, _MISS)
+        if hit is _MISS:
+            if isinstance(content_type, (bytes, bytearray)):
+                m = _CT_CHARSET_RE.search(content_type)
+                token = (
+                    m.group(1).decode("ascii", "replace").lower() if m else None
+                )
+            else:
+                m = _CT_CHARSET_RE_S.search(content_type)
+                token = m.group(1).lower() if m else None
+            if token is None:
+                hit = None
+            else:
+                codec = normalize_charset(token)
+                hit = (codec, "header") if codec is not None else (
+                    token, "unknown"
+                )
+            if len(_CT_SNIFF_CACHE) < 4096:
+                _CT_SNIFF_CACHE[content_type] = hit
+        if hit is not None:
+            return hit
     m = _META_CHARSET_RE.search(body[:SNIFF_WINDOW])
     if m:
         codec = normalize_charset(m.group(1))

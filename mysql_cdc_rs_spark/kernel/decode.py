@@ -90,16 +90,14 @@ def decode_page(raw: bytes | None) -> dict[str, Any]:
         return out
 
     out["status"] = rec.status
-    mime = rec.mime  # computed once; property does bytes work per call
+    mime = rec.mime  # computed once; property does string work per call
     out["mime"] = mime
     out["header_len"] = rec.header_len
-    out["headers"] = {
-        k: v.decode("ascii", "replace") for k, v in rec.headers.items()
-    }
+    # header values are decoded once at parse time; the record's dict IS
+    # the map column (rec is per-row and discarded, so sharing is safe)
+    out["headers"] = rec.headers
     enc = rec.headers.get("content-encoding")
-    out["content_encoding"] = (
-        enc.decode("ascii", "replace").lower() if enc else "identity"
-    )
+    out["content_encoding"] = enc.lower() if enc else "identity"
 
     body = _http.decompress_body(rec)
     if body is None:
@@ -138,7 +136,7 @@ def decode_page(raw: bytes | None) -> dict[str, Any]:
     if 300 <= rec.status < 400 and "location" in rec.headers:
         out["event_type"] = "redirect"
         out["route"] = "redirect"
-        out["text"] = rec.headers["location"].decode("ascii", "replace")
+        out["text"] = rec.headers["location"]
         return out
 
     if mime in _TEXT_MIMES_HTML or mime in _TEXT_MIMES_PLAIN:

@@ -309,6 +309,28 @@ def test_row_roundtrip_property(longs, arr, nd):
     assert out == cells
 
 
+@given(
+    st.text(
+        alphabet="&amplgtqunbsp;#39'x <>\"\t\n",
+        max_size=120,
+    )
+)
+def test_entity_passes_equal_single_regex_pass(s):
+    """The sequential str.replace entity passes (with &amp; LAST) must be
+    byte-identical to the original one-pass regex sub on adversarial
+    entity-dense strings — the equivalence the hot-path optimization
+    relies on (no pass output except &amp;'s own '&' contains '&' or ';',
+    so earlier passes cannot manufacture entities for later ones)."""
+    from mysql_cdc_rs_spark.kernel import textextract as T
+
+    want = T._ENTITY_RE.sub(lambda m: T._ENTITIES[m.group(0)], s)
+    got = s
+    if "&" in got:
+        for k, v in T._ENTITY_PASSES:
+            got = got.replace(k, v)
+    assert got == want
+
+
 @given(st.binary(max_size=64))
 def test_decode_row_safe_total(buf):
     """decode_row_safe never raises, whatever the bytes — it returns cells
