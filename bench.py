@@ -49,6 +49,11 @@ PAGES_PARQUET = f"{WORK}/pages_{N_PAGES}_32f"
 # must be amortized or they masquerade as poor scaling
 SCALING_N = int(os.environ.get("SPARK_GRAFT_SCALING_N", "400000"))
 SCALING_PARQUET = f"{WORK}/pages_{SCALING_N}_32f"
+# independent-session legs get a LARGER input still: the local[2] leg must
+# run tens of seconds so neighbor-load spikes average out instead of
+# deciding the round (the r3 number flapped 0.86 -> 0.699 on a rerun)
+SESSIONS_N = int(os.environ.get("SPARK_GRAFT_SESSIONS_N", "800000"))
+SESSIONS_PARQUET = f"{WORK}/pages_{SESSIONS_N}_32f"
 
 BENCH_QUERIES = [
     "q1_pricing_summary",
@@ -88,7 +93,10 @@ def build(master: str, extra: dict | None = None):
 def materialize_pages(spark) -> None:
     from mysql_cdc_rs_spark.sources.pages import pages_df
 
-    for n, path in ((N_PAGES, PAGES_PARQUET), (SCALING_N, SCALING_PARQUET)):
+    sizes = [(N_PAGES, PAGES_PARQUET), (SCALING_N, SCALING_PARQUET)]
+    if not SKIP_SCALING:
+        sizes.append((SESSIONS_N, SESSIONS_PARQUET))
+    for n, path in sizes:
         if not os.path.isdir(path):
             pages_df(spark, n, seed=42, num_partitions=32).write.mode(
                 "overwrite"
@@ -194,6 +202,39 @@ def main() -> None:
         "sec": round(cdt, 3),
         "input_docs": N_PAGES,
     }
+
+    # --- resumable curation: the 100 TB resumability claim, with numbers ----
+    # cold = both checkpointed stages computed + written; resume-after-kill
+    # = the survivors manifest is deleted (the job "died" mid-stage-2), so
+    # the rerun SKIPS the decode+quality stage (the expensive one, reading
+    # its parquet back) and recomputes only the LSH dedup + anti-join;
+    # warm resume = nothing lost, both stages skip (lineage checks only).
+    from mysql_cdc_rs_spark.plans.training_pipeline import curate_resumable
+    from mysql_cdc_rs_spark.sources.catalog import SinkCatalog
+
+    ckpt = f"{WORK}/curate_ckpt"
+    shutil.rmtree(ckpt, ignore_errors=True)
+    rcat = SinkCatalog(spark, ckpt)
+    pages_r = spark.read.parquet(PAGES_PARQUET)
+
+    def _resumable_run() -> tuple[float, int]:
+        t0 = time.monotonic()
+        n = curate_resumable(pages_r, rcat).count()
+        return time.monotonic() - t0, n
+
+    cold_sec, cold_n = _resumable_run()
+    os.remove(os.path.join(ckpt, "_manifest_curate_survivors.json"))
+    kill_sec, kill_n = _resumable_run()
+    warm_sec, warm_n = _resumable_run()
+    assert cold_n == kill_n == warm_n, "resume changed the survivor set"
+    result["curate_resume"] = {
+        "input_docs": N_PAGES,
+        "survivors": cold_n,
+        "cold_sec": round(cold_sec, 3),
+        "resume_after_kill_sec": round(kill_sec, 3),
+        "warm_resume_sec": round(warm_sec, 3),
+        "resume_speedup": round(cold_sec / kill_sec, 2),
+    }
     spark.stop()
 
     # --- scaling evidence ----------------------------------------------------
@@ -273,12 +314,22 @@ def main() -> None:
         # in separate sessions at local[2] and local[8].  2 and 8 threads
         # (x2 for python workers) stay clear of neighbor load on this
         # shared 32-core host, unlike 8 vs 32 which oversubscribes.
+        #
+        # Noise discipline (r3's number flapped 0.86 -> 0.699 between runs):
+        # 1. the legs run over SESSIONS_N pages so the slow leg takes tens
+        #    of seconds — load spikes average out instead of deciding a
+        #    round;
+        # 2. legs alternate 2,8 / 8,2 across 4 rounds to decorrelate drift;
+        # 3. the estimator is min-over-ALL-rounds per leg: neighbor load is
+        #    strictly additive, so each leg's minimum is its best estimate
+        #    of the uncontaminated time and the ratio of minima estimates
+        #    the noise-free efficiency.  Per-round ratios are published.
         from mysql_cdc_rs_spark.operators.decode import decode_pages as _dp
         from mysql_cdc_rs_spark.operators.enrich import enrich as _en
 
         def _session_leg(n: int) -> float:
             s = build(f"local[{n}]")
-            pages = s.read.parquet(SCALING_PARQUET)
+            pages = s.read.parquet(SESSIONS_PARQUET)
 
             def _run() -> float:
                 t0 = time.monotonic()
@@ -292,29 +343,32 @@ def main() -> None:
             s.stop()
             return best_t
 
-        # three full rounds; quietest (least normalized work-time) reported,
-        # all rounds published — same noise discipline as the paired proto
         srounds = []
-        for _ in range(3):
-            t2 = _session_leg(2)
-            t8 = _session_leg(8)
+        for i in range(4):
+            order = (2, 8) if i % 2 == 0 else (8, 2)
+            legs = {n: _session_leg(n) for n in order}
             srounds.append({
-                "local2_sec": round(t2, 3),
-                "local8_sec": round(t8, 3),
-                "efficiency": round((t2 / t8) / 4.0, 3),
+                "local2_sec": round(legs[2], 3),
+                "local8_sec": round(legs[8], 3),
+                "efficiency": round((legs[2] / legs[8]) / 4.0, 3),
             })
-        sbest = min(srounds, key=lambda r: r["local2_sec"] + 4 * r["local8_sec"])
+        t2_min = min(r["local2_sec"] for r in srounds)
+        t8_min = min(r["local8_sec"] for r in srounds)
         sess = {
+            "protocol": f"{SESSIONS_N} pages, separate sessions, legs "
+            "alternating across 4 rounds; efficiency = ratio of per-leg "
+            "minima over all rounds (noise is additive, so minima are the "
+            "uncontaminated estimates); per-round ratios disclosed",
             "rounds": srounds,
             "local[2]": {
-                "sec": sbest["local2_sec"],
-                "pages_per_sec": round(SCALING_N / sbest["local2_sec"], 1),
+                "sec": t2_min,
+                "pages_per_sec": round(SESSIONS_N / t2_min, 1),
             },
             "local[8]": {
-                "sec": sbest["local8_sec"],
-                "pages_per_sec": round(SCALING_N / sbest["local8_sec"], 1),
+                "sec": t8_min,
+                "pages_per_sec": round(SESSIONS_N / t8_min, 1),
             },
-            "efficiency_N_to_4N": sbest["efficiency"],
+            "efficiency_N_to_4N": round((t2_min / t8_min) / 4.0, 3),
         }
         result["scaling_sessions"] = sess
 
@@ -387,10 +441,10 @@ def _write_bench_md(r: dict) -> None:
                 "## Independent-session N -> 4N (the brief's literal shape)",
                 "",
                 "Same job (scan -> decode -> enrich -> route aggregate, "
-                f"uncached parquet, {r.get('n_pages', '')} input prepared at "
-                "SCALING_N rows) in SEPARATE sessions:",
+                "uncached parquet) in SEPARATE sessions. "
+                f"Protocol: {ss.get('protocol', '')}",
                 "",
-                "| level | sec | pages/sec |",
+                "| level | sec (min over rounds) | pages/sec |",
                 "|---|---|---|",
                 f"| N = local[2] | {ss['local[2]']['sec']} | "
                 f"{ss['local[2]']['pages_per_sec']} |",
@@ -398,8 +452,9 @@ def _write_bench_md(r: dict) -> None:
                 f"{ss['local[8]']['pages_per_sec']} |",
                 "",
                 f"**Independent-session efficiency (N -> 4N) = "
-                f"{ss['efficiency_N_to_4N']}** (quietest of "
-                f"{len(ss.get('rounds', []))} rounds; per-round: "
+                f"{ss['efficiency_N_to_4N']}** (ratio of per-leg minima "
+                f"over {len(ss.get('rounds', []))} alternating rounds; "
+                "per-round ratios: "
                 + ", ".join(str(x["efficiency"]) for x in ss.get("rounds", []))
                 + ") — 2/8 threads (x2 with python workers) stay clear of "
                 "neighbor load, unlike 8 vs 32 which oversubscribes this "
@@ -440,6 +495,26 @@ def _write_bench_md(r: dict) -> None:
             f"- **{cu['docs_per_sec']} docs/sec** over {cu['input_docs']} pages "
             f"({cu['sec']}s, min-of-2 after warm), {cu['survivors']} survivors "
             f"— the closest single number to the 100 TB training-data job",
+            "",
+        ]
+    cr = r.get("curate_resume")
+    if cr:
+        lines += [
+            "## Checkpoint-resumable curation (resume-after-kill vs cold)",
+            "",
+            "| run | sec | what happened |",
+            "|---|---|---|",
+            f"| cold | {cr['cold_sec']} | both stages computed + written |",
+            f"| resume after mid-stage-2 kill | {cr['resume_after_kill_sec']}"
+            " | decode+quality SKIPPED (read back), dedup recomputed |",
+            f"| warm resume | {cr['warm_resume_sec']} | both stages skipped "
+            "(lineage checks only) |",
+            "",
+            f"- resume-after-kill is **{cr['resume_speedup']}x** faster than "
+            f"cold over {cr['input_docs']} pages; identical "
+            f"{cr['survivors']}-doc survivor set on every path — at 100 TB "
+            "a mid-run failure costs the unfinished stage, not the corpus "
+            "decode",
             "",
         ]
     lines += [
