@@ -258,6 +258,25 @@ def test_training_curation_stages(spark):
     assert surv.count() == surv.select("doc_id").distinct().count() == rep["survivors"]
 
 
+def test_curate_release_unpersists_quality(spark):
+    """curate() persists the quality corpus; release() must drop exactly
+    that cache so repeated invocations (bench loops, notebooks) don't
+    accumulate cached plans for the session lifetime."""
+    from mysql_cdc_rs_spark.plans.training_pipeline import curate, release
+    from mysql_cdc_rs_spark.sources.pages_from_documents import pages_from_documents
+
+    pages = pages_from_documents(spark, "/root/testdata/sf0.001")
+    surv = curate(pages, min_tokens=20)
+    surv.count()  # materializes the persisted quality corpus
+    quality = surv._curate_persisted
+    assert quality.storageLevel.useMemory or quality.storageLevel.useDisk
+    release(surv)
+    sl = quality.storageLevel
+    assert not (sl.useMemory or sl.useDisk)  # cache dropped
+    release(surv)  # idempotent, and safe on frames without the handle
+    release(pages)
+
+
 def test_spark_submit_py_files_runs():
     """The north rule's exact invocation shape: spark-submit --py-files
     engine.zip — the package must ship itself correctly when imported FROM
