@@ -69,6 +69,20 @@ def main() -> None:
     for name in SNAPSHOT_QUERIES:
         plans[name] = formatted(spark, QUERIES[name](spark, SF))
 
+    # not a registry query, but THE shape the 100x verdicts hinged on:
+    # IVF assignment as a shuffle-free argmax fold over one broadcast
+    # codebook row (no Window, no corpus Exchange, corpus norm folded
+    # once per row below the join)
+    from pyspark.sql import functions as F
+
+    from mysql_cdc_rs_spark.operators.similarity import ivf_assign
+    from mysql_cdc_rs_spark.sources.testdata import load
+
+    emb = load(spark, SF, "embeddings")
+    plans["ivf_assign"] = formatted(
+        spark, ivf_assign(emb, emb.filter(F.col("vec_id") % 50 == 0))
+    )
+
     for name, plan in plans.items():
         with open(f"{OUT}/{name}.txt", "w") as f:
             f.write(plan)

@@ -162,6 +162,15 @@ def test_explain_snapshots_carry_invariants():
     # test_curate_anti_join_not_forced_broadcast pins hint-freeness)
     assert "LeftAnti" in curate
 
+    # IVF assignment: shuffle-free argmax fold (formatted explain prints
+    # the tree + details, so node counts are x2 vs the simple plan)
+    ivf = read("ivf_assign.txt")
+    assert "Window" not in ivf
+    assert ivf.count("BroadcastExchange") == 2  # one node: codebook row
+    # the only shuffle is the k-row codebook collapse to one partition
+    assert "Arguments: SinglePartition" in ivf
+    assert ivf.count("Exchange") == 4  # 2 nodes (shuffle + broadcast) x 2
+
 
 def test_curate_anti_join_not_forced_broadcast(spark):
     """The survivors anti-join must NOT carry a broadcast hint: the drop set
