@@ -197,6 +197,109 @@ def start_windowed_metrics_stream(
     )
 
 
+def start_curation_stream(
+    stream_df: DataFrame,
+    catalog,
+    checkpoint_dir: str,
+    min_tokens: int = 20,
+    available_now: bool = True,
+):
+    """ONLINE training-data curation: decode -> quality gate -> incremental
+    LSH near-dup drop, one micro-batch at a time — the streaming twin of
+    ``plans.training_pipeline.curate`` (keep-first by ARRIVAL instead of by
+    doc_id).
+
+    Dedup state is an append-only ``dedup_seen_buckets`` table holding the
+    (band_id, bucket) rows of every QUALITY doc seen so far — not just the
+    survivors': batch keep-first drops a doc that collides with ANY earlier
+    quality doc, dropped or not, and matching that makes the stream (fed in
+    doc_id order) produce exactly the batch survivor set.  Per batch:
+
+      quality -> within-batch keep-first (the same lsh_candidate_pairs,
+      banded buckets computed ONCE and reused) -> anti-join docs whose
+      bucket appeared in any prior batch -> append survivors + buckets.
+
+    Scale shape: state lives in a table, not on the driver or in executor
+    memory; the cross-batch probe is one equi-join on (band_id, bucket) —
+    at 10^12 docs the bucket is the table's physical partition key and the
+    probe prunes to touched buckets.  Restart safety: each batch's appends
+    carry batch_id and a manifest records the last COMPLETED batch, so a
+    replayed batch (restart between sink append and checkpoint commit) is
+    skipped; a crash inside a batch can leave a partial append, which
+    readers drop by filtering batch_id > last-completed (the relay-log
+    torn-tail rule, segment.rs:137-140, restated for micro-batches).
+    """
+    from mysql_cdc_rs_spark.functions.text import words_of
+    from mysql_cdc_rs_spark.operators import dedup as DD
+
+    SEEN, CURATED, MANIFEST = "dedup_seen_buckets", "curated", "stream_curate"
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        m = catalog.read_manifest(MANIFEST)
+        last = m.get("last_batch_id", -1) if m else -1
+        if batch_id <= last:
+            return  # replayed after restart: this batch is fully applied
+        decoded = decode_pages(batch_df)
+        doc_id = F.regexp_extract("url", r"/(\d+)$", 1).cast("long")
+        textful = decoded.filter(
+            F.col("event_type").isin("html", "plain")
+        ).select(doc_id.alias("doc_id"), "text")
+        quality = textful.filter(
+            F.size(words_of(F.col("text"))) >= min_tokens
+        ).persist()
+        banded = DD.banded_buckets(quality).persist()
+        pairs = DD.lsh_candidate_pairs(quality, banded=banded)
+        drops_in = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+        survivors = quality.join(drops_in, "doc_id", "left_anti")
+        if catalog.exists(SEEN):
+            seen = (
+                catalog.read(SEEN)
+                .where(F.col("batch_id") <= last)  # drop torn tails
+                .select("band_id", "bucket")
+            )
+            hit = (
+                banded.join(seen, ["band_id", "bucket"])
+                .select("doc_id")
+                .distinct()
+            )
+            survivors = survivors.join(hit, "doc_id", "left_anti")
+        catalog.append(
+            survivors.withColumn("batch_id", F.lit(batch_id)), CURATED
+        )
+        catalog.append(
+            banded.select("band_id", "bucket")
+            .distinct()
+            .withColumn("batch_id", F.lit(batch_id)),
+            SEEN,
+        )
+        quality.unpersist()
+        banded.unpersist()
+        catalog.write_manifest(MANIFEST, {"last_batch_id": batch_id})
+
+    writer = stream_df.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_curated(catalog) -> DataFrame:
+    """Committed curated corpus: completed batches only (torn-tail rule).
+
+    dropDuplicates(doc_id) makes reads immune to the one remaining replay
+    window (crash after the curated append but before the manifest write:
+    the deterministic replay appends identical rows under the same
+    batch_id)."""
+    m = catalog.read_manifest("stream_curate")
+    last = m.get("last_batch_id", -1) if m else -1
+    return (
+        catalog.read("curated")
+        .where(F.col("batch_id") <= last)
+        .dropDuplicates(["doc_id"])
+    )
+
+
 # --- custom stateful operator (applyInPandasWithState) ----------------------
 
 HOST_STATE_SCHEMA = "n long, bytes long"

@@ -331,6 +331,23 @@ def test_entity_passes_equal_single_regex_pass(s):
     assert got == want
 
 
+@given(
+    st.binary(max_size=48),
+    st.binary(max_size=32),
+)
+def test_sniff_charset_str_bytes_equivalent(ct, body):
+    """sniff_charset must return the same (codec, source) whether the
+    content-type arrives as raw bytes or as the ascii-lossy-decoded string
+    parse_record now stores — the ASCII token class matches identically in
+    both representations (U+FFFD can no more join a token than the raw
+    byte could)."""
+    from mysql_cdc_rs_spark.kernel.charset import sniff_charset
+
+    as_bytes = sniff_charset(ct, body)
+    as_str = sniff_charset(ct.decode("ascii", "replace"), body)
+    assert as_bytes == as_str
+
+
 @given(st.binary(max_size=64))
 def test_decode_row_safe_total(buf):
     """decode_row_safe never raises, whatever the bytes — it returns cells

@@ -321,6 +321,112 @@ def test_kafka_source_swap_plan(spark):
     assert {"url", "warc_ts", "html", "route", "region"} <= set(out.columns)
 
 
+def test_streaming_curation_matches_batch_and_resumes(spark):
+    """ONLINE LSH curation: the corpus streamed in two doc_id-ordered
+    micro-batches (with a stream restart between them — the dedup state
+    must survive in the table, not the session) yields EXACTLY the batch
+    curate() survivor set, and a replayed batch is skipped idempotently."""
+    from mysql_cdc_rs_spark.plans.training_pipeline import curate, release
+    from mysql_cdc_rs_spark.sources.catalog import SinkCatalog
+    from mysql_cdc_rs_spark.streaming.stream_pipeline import (
+        read_curated,
+        start_curation_stream,
+        stream_pages,
+    )
+
+    n = 1600
+    full = pages_df(spark, n, seed=42)
+    docid = F.regexp_extract("url", r"/(\d+)$", 1).cast("long")
+    with tempfile.TemporaryDirectory() as tmp:
+        src = f"{tmp}/pages"
+        ckpt = f"{tmp}/ckpt"
+        cat = SinkCatalog(spark, f"{tmp}/cur")
+
+        # chunk 1 (low doc_ids) arrives and drains as one micro-batch
+        full.filter(docid < 800).coalesce(1).write.mode("append").parquet(src)
+        q = start_curation_stream(stream_pages(spark, src), cat, ckpt)
+        q.awaitTermination()
+        n_after_first = read_curated(cat).count()
+        assert n_after_first > 0
+
+        # chunk 2 (high doc_ids) arrives; RESTART from checkpoint — only
+        # the new file is processed, prior dedup state read from the table
+        full.filter(docid >= 800).coalesce(1).write.mode("append").parquet(src)
+        q2 = start_curation_stream(stream_pages(spark, src), cat, ckpt)
+        q2.awaitTermination()
+
+        got = {r["doc_id"] for r in read_curated(cat).select("doc_id").collect()}
+        surv = curate(full)
+        want = {r["doc_id"] for r in surv.select("doc_id").collect()}
+        release(surv)
+        assert got == want
+
+        # replaying the last batch (manifest says complete) is a no-op
+        q3 = start_curation_stream(stream_pages(spark, src), cat, ckpt)
+        q3.awaitTermination()
+        again = {r["doc_id"] for r in read_curated(cat).select("doc_id").collect()}
+        assert again == want
+
+
+def test_streaming_curation_drops_cross_batch_dups(spark):
+    """A later-arriving near-duplicate of an earlier batch's doc must be
+    dropped by the seen-buckets probe — the cross-batch leg specifically."""
+    from mysql_cdc_rs_spark.sources.catalog import SinkCatalog
+    from mysql_cdc_rs_spark.streaming.stream_pipeline import (
+        read_curated,
+        start_curation_stream,
+        stream_pages,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog again and again "
+        "while seven wizards mix tricky potions for the annual fair " * 2
+    )
+    uniq = (
+        "completely different vocabulary nothing shared at all here "
+        "rivers mountains valleys glaciers meadows forests deserts " * 2
+    )
+
+    def page(i, text):
+        body = f"<html><body>{text}</body></html>".encode()
+        raw = (
+            f"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n"
+            f"Content-Length: {len(body)}\r\n\r\n"
+        ).encode() + body
+        return (f"https://ex.com/d/{i}", None, raw, None, "en")
+
+    ddl = "url string, warc_ts timestamp, html binary, text string, lang string"
+    with tempfile.TemporaryDirectory() as tmp:
+        src = f"{tmp}/pages"
+        cat = SinkCatalog(spark, f"{tmp}/cur")
+        # batch 1: the original + one unrelated doc
+        spark.createDataFrame([page(1, base), page(2, uniq)], ddl).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+        q = start_curation_stream(
+            stream_pages(spark, src), cat, f"{tmp}/ckpt", min_tokens=10
+        )
+        q.awaitTermination()
+        # batch 2: a near-dup of doc 1 (same buckets) + a genuinely new doc
+        fresh = (
+            "astronomy telescopes galaxies nebulae quasars pulsars orbit "
+            "gravity spectra redshift parallax photometry occultation " * 2
+        )
+        spark.createDataFrame(
+            [page(100, base + " tiny tail"), page(101, fresh)], ddl
+        ).coalesce(1).write.mode("append").parquet(src)
+        q2 = start_curation_stream(
+            stream_pages(spark, src), cat, f"{tmp}/ckpt", min_tokens=10
+        )
+        q2.awaitTermination()
+        got = {r["doc_id"] for r in read_curated(cat).select("doc_id").collect()}
+        assert 1 in got and 2 in got
+        assert 100 not in got  # near-dup of earlier batch's doc 1: dropped
+        assert 101 in got  # genuinely new content: kept
+        # the seen-buckets table carries both batches' lineage
+        assert cat.exists("dedup_seen_buckets")
+
+
 def test_socket_source_live_pages(spark):
     """S5 socket leg, EXECUTED: a loopback TCP server emits
     url<TAB>base64(html) lines; the socket stream feeds the same
