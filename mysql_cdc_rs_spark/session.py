@@ -55,6 +55,17 @@ def build_session(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    # Straggler backstop (opt-in locally, mandatory at fleet scale): a dead
+    # Python worker leaves its task blocked in epoll forever; speculation
+    # re-launches it.  Off by default here because single-attempt timing
+    # keeps bench rounds and plan snapshots deterministic — a 10^12-page
+    # run should set it (see BENCH/SOAK.md, hung-worker incident).
+    if os.environ.get("SPARK_GRAFT_SPECULATION") == "1":
+        builder = (
+            builder.config("spark.speculation", "true")
+            .config("spark.speculation.multiplier", "4")
+            .config("spark.speculation.quantile", "0.9")
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -284,6 +284,41 @@ def start_curation_stream(
     return writer.start()
 
 
+def compact_seen_buckets(catalog) -> int:
+    """Rewrite ``dedup_seen_buckets`` as DISTINCT (band_id, bucket) rows.
+
+    The stream appends one file-set per micro-batch and never dedups the
+    bucket rows across batches; over a long run the table accumulates both
+    small files and repeated buckets.  Compaction collapses it to the
+    distinct bucket set tagged with the last COMPLETED batch id (torn
+    tails from a mid-batch crash are dropped by the same batch_id filter
+    the probe uses).  Run it BETWEEN stream runs — the availableNow
+    drain-then-stop pattern — never concurrently with one.  At 10^12 docs
+    this is the periodic maintenance job that keeps the probe-side join
+    input proportional to distinct buckets, not to batches.
+
+    Returns the distinct bucket count after compaction.
+    """
+    m = catalog.read_manifest("stream_curate")
+    last = m.get("last_batch_id", -1) if m else -1
+    if last < 0 or not catalog.exists("dedup_seen_buckets"):
+        return 0
+    seen = (
+        catalog.read("dedup_seen_buckets")
+        .where(F.col("batch_id") <= last)
+        .select("band_id", "bucket")
+        .distinct()
+        .withColumn("batch_id", F.lit(last))
+    )
+    # two-phase swap through a sidecar table: the overwrite of the live
+    # name is then a single atomic-enough rewrite of already-materialized
+    # rows (never read-your-own-overwrite within one plan)
+    catalog.overwrite(seen, "dedup_seen_buckets_compact")
+    compacted = catalog.read("dedup_seen_buckets_compact")
+    catalog.overwrite(compacted, "dedup_seen_buckets")
+    return catalog.read("dedup_seen_buckets").count()
+
+
 def read_curated(catalog) -> DataFrame:
     """Committed curated corpus: completed batches only (torn-tail rule).
 

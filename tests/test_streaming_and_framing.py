@@ -426,6 +426,32 @@ def test_streaming_curation_drops_cross_batch_dups(spark):
         # the seen-buckets table carries both batches' lineage
         assert cat.exists("dedup_seen_buckets")
 
+        # compaction collapses to the distinct bucket set and preserves
+        # dedup behavior: a third batch re-near-duplicating doc 2 still
+        # drops against the compacted state
+        from mysql_cdc_rs_spark.streaming.stream_pipeline import (
+            compact_seen_buckets,
+        )
+
+        before = cat.read("dedup_seen_buckets").count()
+        after = compact_seen_buckets(cat)
+        distinct = (
+            cat.read("dedup_seen_buckets")
+            .select("band_id", "bucket")
+            .distinct()
+            .count()
+        )
+        assert after == distinct <= before
+        spark.createDataFrame([page(200, uniq + " late copy")], ddl).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+        q3 = start_curation_stream(
+            stream_pages(spark, src), cat, f"{tmp}/ckpt", min_tokens=10
+        )
+        q3.awaitTermination()
+        got3 = {r["doc_id"] for r in read_curated(cat).select("doc_id").collect()}
+        assert 200 not in got3 and got3 >= got
+
 
 def test_socket_source_live_pages(spark):
     """S5 socket leg, EXECUTED: a loopback TCP server emits
