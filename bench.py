@@ -174,6 +174,7 @@ def main() -> None:
     from mysql_cdc_rs_spark.queries import QUERIES
 
     qsec: dict[str, float] = {}
+    qload: dict[str, float] = {}
     for name in BENCH_QUERIES:
         df = QUERIES[name](spark, SF_DIR)
         df.write.format("noop").mode("overwrite").save()  # warm
@@ -183,7 +184,13 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
             times.append(time.monotonic() - t0)
         qsec[name] = round(min(times), 3)
+        # per-query 1-min host load at measurement time: sub-second queries
+        # (the TPC-H trio drifted +7-14% between r3/r4 driver runs on
+        # untouched code) are the most load-sensitive — this field makes
+        # future drift attributable to the box, not the plan
+        qload[name] = round(os.getloadavg()[0], 2)
     result["queries"] = qsec
+    result["queries_host_load1"] = qload
 
     # --- curation pipeline throughput (the closest proxy of the 100 TB job) --
     from mysql_cdc_rs_spark.plans.training_pipeline import curate, release
@@ -268,13 +275,14 @@ def main() -> None:
 
         _leg(leg_big)
         _leg(leg_small)  # warm both legs
-        # The 1-core leg uses 1 of 32 cores and measures stably (+-2%
-        # across runs); the 4-core leg is the noise-sensitive one AND the
-        # cheap one, so each round takes min-of-2 on it — twice the quiet-
-        # window draws where they matter.
+        # SYMMETRIC draw counts (round-4 advisory): min-of-2 per leg per
+        # round on BOTH legs.  The earlier asymmetry (min-of-2 only on the
+        # cheap 4-core leg) gave t4 twice the quiet-window draws of t1,
+        # a finite-sample bias that flatters efficiency under additive
+        # noise; equal draws remove it at the cost of ~1 min of bench time.
         rounds = []
         for _ in range(4):
-            t1 = _leg(leg_small)
+            t1 = min(_leg(leg_small), _leg(leg_small))
             t4 = min(_leg(leg_big), _leg(leg_big))
             rounds.append(
                 {

@@ -320,9 +320,19 @@ def ivf_assign(corpus: DataFrame, centroids: DataFrame) -> DataFrame:
 
     The per-centroid cosine uses the exact same double arithmetic as
     ``cosine()`` (sequential zip_with/aggregate folds), so assignments are
-    bit-identical to the former window formulation and to the SQL oracles.
-    Ties break to the lowest cent_id (struct array is sorted by cent_id and
-    the fold keeps the incumbent on equal sim).
+    bit-identical to the former window formulation and to the SQL oracles
+    FOR FINITE SIMS.  A zero-norm vector or centroid yields sim = NaN,
+    where the two formulations legitimately diverge: every SQL comparison
+    with NaN is false, so the fold keeps its incumbent, while Spark's
+    orderBy ranks NaN as the LARGEST double and the old window would have
+    ranked that centroid first.  The fold's keep-incumbent behavior is the
+    intended semantic (a degenerate centroid never wins an assignment);
+    k-means-trained codebooks cannot contain zero-norm centroids (a
+    centroid is a mean of assigned member vectors), and the generator
+    corpus has no zero-norm embeddings, so the divergence is unreachable
+    in every shipped query.  Ties break to the lowest cent_id (struct
+    array is sorted by cent_id and the fold keeps the incumbent on equal
+    sim).
     """
     # centroid norms are computed ONCE on the k-row side (sqrt of the same
     # sequential fold cosine() uses) and travel inside the codebook structs

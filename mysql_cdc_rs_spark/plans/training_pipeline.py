@@ -40,11 +40,20 @@ def curate(
     pages: DataFrame,
     doc_id_expr=None,
     min_tokens: int = DEFAULT_MIN_TOKENS,
+    verify_jaccard: float | None = None,
 ) -> DataFrame:
     """pages -> surviving (doc_id, text) corpus.
 
     doc_id_expr: Column producing a unique numeric doc id (defaults to
     extracting the trailing integer of the url, which both generators emit).
+
+    verify_jaccard: opt-in exact-verification stage.  By default survivors
+    drop on LSH candidacy alone, which over-drops on band collisions
+    (bucket agreement without real similarity).  With a threshold set, the
+    exact word-3-gram Jaccard is computed FOR THE CANDIDATE PAIRS ONLY
+    (``ngram_jaccard_pairs(candidates=...)`` — O(|pairs| x shingles/doc),
+    never corpus-quadratic) and only pairs at or above the threshold drop
+    their doc_b.  Off (None) leaves the plan byte-identical to round 4's.
     """
     decoded = decode_pages(pages)
     if doc_id_expr is None:
@@ -66,6 +75,10 @@ def curate(
     ).persist(StorageLevel.MEMORY_AND_DISK)
 
     pairs = DD.lsh_candidate_pairs(quality)
+    if verify_jaccard is not None:
+        pairs = DD.ngram_jaccard_pairs(
+            quality, min_jaccard=verify_jaccard, candidates=pairs
+        )
     # keep-first policy: any doc that is the HIGHER member of a candidate
     # pair is a near-duplicate of an earlier doc -> dropped.  No broadcast
     # hint: drops scales with the corpus's dup mass (see module docstring).

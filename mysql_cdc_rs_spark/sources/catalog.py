@@ -44,11 +44,49 @@ class SinkCatalog:
         os.makedirs(self.base, exist_ok=True)
 
     def _path(self, table: str) -> str:
-        return os.path.join(self.base, table)
+        return os.path.join(self.base, self.resolve(table))
 
     def _ident(self, table: str) -> str:
         """Catalog-qualified Iceberg table identifier for a route table."""
-        return f"sink.{table}"
+        return f"sink.{self.resolve(table)}"
+
+    # --- logical -> physical name indirection (atomic table swap) ----------
+
+    def resolve(self, table: str) -> str:
+        """Physical name behind a logical table name.
+
+        Tables rewritten in place by maintenance jobs (seen-bucket
+        compaction) swap via ``flip_pointer``: the new content lands under a
+        versioned physical name and ONE atomic manifest write moves the
+        logical name — a crash on either side of the flip leaves a fully
+        readable table (the Iceberg-snapshot-commit analog for the Parquet
+        leg; os.replace is the commit).  Names without a pointer resolve to
+        themselves, so ordinary tables pay one manifest stat only when a
+        pointer file exists.
+        """
+        m = self.read_manifest(f"ptr_{table}")
+        return m["physical"] if m else table
+
+    def flip_pointer(self, logical: str, physical: str) -> str | None:
+        """Atomically repoint ``logical`` at ``physical``.
+
+        Returns the previous physical name (for post-flip cleanup) or None
+        if the logical name had no pointer yet.
+        """
+        prev = self.resolve(logical)
+        self.write_manifest(f"ptr_{logical}", {"physical": physical})
+        return None if prev == physical else prev
+
+    def drop_physical(self, physical: str) -> None:
+        """Best-effort removal of an unreferenced physical table (run AFTER
+        a pointer flip; a crash here leaves an orphan dir, never data loss).
+        """
+        if self.use_iceberg:
+            self.spark.sql(f"DROP TABLE IF EXISTS sink.{physical}")
+            return
+        import shutil
+
+        shutil.rmtree(os.path.join(self.base, physical), ignore_errors=True)
 
     def append(self, df, table: str, partition_by: list[str] | None = None) -> None:
         if self.use_iceberg:
@@ -70,18 +108,47 @@ class SinkCatalog:
         w.parquet(self._path(table))
 
     def overwrite(self, df, table: str, partition_by: list[str] | None = None) -> None:
+        """FULL-replace overwrite — identical semantics on both legs.
+
+        Iceberg uses ``createOrReplace`` (one atomic snapshot swap), NOT
+        ``overwritePartitions``: dynamic overwrite keeps partitions absent
+        from ``df``, so a route value written by a prior run but missing
+        from this one would silently survive in Iceberg mode only (the
+        route.py fan-out and checkpoint stages expect Parquet full-replace
+        semantics).  Callers that want replace-only-touched-partitions at
+        scale use ``overwrite_partitions``.
+        """
         if self.use_iceberg:
             writer = df.writeTo(self._ident(table))
             if partition_by:
                 writer = writer.partitionedBy(*partition_by)
-            # dynamic-partition overwrite: replaces exactly the partitions
-            # present in df (the whole table when unpartitioned), atomically
+            writer.createOrReplace()
+            return
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(self._path(table))
+
+    def overwrite_partitions(
+        self, df, table: str, partition_by: list[str] | None = None
+    ) -> None:
+        """Dynamic-partition overwrite: replace exactly the partitions
+        present in ``df``, keep the rest.  The scale path for incremental
+        re-runs (rewriting one day/route of a 10^12-row table must not
+        rewrite — or drop — the other partitions).  On the Parquet leg this
+        is the per-write ``partitionOverwriteMode=dynamic`` option, so the
+        session-wide default (static) is untouched.
+        """
+        if self.use_iceberg:
+            writer = df.writeTo(self._ident(table))
+            if partition_by:
+                writer = writer.partitionedBy(*partition_by)
             if self.spark.catalog.tableExists(self._ident(table)):
                 writer.overwritePartitions()
             else:
                 writer.create()
             return
-        w = df.write.mode("overwrite")
+        w = df.write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(self._path(table))

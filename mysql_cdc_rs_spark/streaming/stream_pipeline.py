@@ -297,6 +297,17 @@ def compact_seen_buckets(catalog) -> int:
     this is the periodic maintenance job that keeps the probe-side join
     input proportional to distinct buckets, not to batches.
 
+    Crash safety (round 5): the compacted rows land under a fresh
+    VERSIONED physical table, and the live name moves in ONE atomic
+    pointer flip (``catalog.flip_pointer`` -> os.replace of the manifest).
+    A crash before the flip leaves the old table live and an orphan
+    version dir that the retry overwrites; a crash after the flip leaves
+    the new table live and the old dir pending cleanup — there is no
+    instant at which ``dedup_seen_buckets`` is unreadable or wrong
+    (pinned by test_compact_seen_buckets_crash_safe).  On the Iceberg leg
+    ``overwrite`` is already one atomic snapshot swap (createOrReplace),
+    so the live name is rewritten directly.
+
     Returns the distinct bucket count after compaction.
     """
     m = catalog.read_manifest("stream_curate")
@@ -310,12 +321,25 @@ def compact_seen_buckets(catalog) -> int:
         .distinct()
         .withColumn("batch_id", F.lit(last))
     )
-    # two-phase swap through a sidecar table: the overwrite of the live
-    # name is then a single atomic-enough rewrite of already-materialized
-    # rows (never read-your-own-overwrite within one plan)
-    catalog.overwrite(seen, "dedup_seen_buckets_compact")
-    compacted = catalog.read("dedup_seen_buckets_compact")
-    catalog.overwrite(compacted, "dedup_seen_buckets")
+    if getattr(catalog, "use_iceberg", False):
+        # createOrReplace commits the new snapshot atomically, reading the
+        # prior snapshot as input — no pointer dance needed
+        catalog.overwrite(seen, "dedup_seen_buckets")
+        return catalog.read("dedup_seen_buckets").count()
+    ptr = catalog.read_manifest("ptr_dedup_seen_buckets")
+    gen = (ptr.get("gen", 0) if ptr else 0) + 1
+    version = f"dedup_seen_buckets__g{gen}"
+    # 1. materialize the compacted set under the version name (reads the
+    #    CURRENT physical table; overwrite mode makes retries idempotent)
+    catalog.overwrite(seen, version)
+    # 2. the commit: one atomic manifest replace moves the live name
+    prev = catalog.resolve("dedup_seen_buckets")
+    catalog.write_manifest(
+        "ptr_dedup_seen_buckets", {"physical": version, "gen": gen}
+    )
+    # 3. post-commit cleanup (best-effort; an orphan dir is the worst case)
+    if prev != version:
+        catalog.drop_physical(prev)
     return catalog.read("dedup_seen_buckets").count()
 
 

@@ -126,6 +126,9 @@ def test_iceberg_branch_issues_writeTo_calls(monkeypatch):
         def overwritePartitions(self):
             calls.append(("overwritePartitions", self.ident))
 
+        def createOrReplace(self):
+            calls.append(("createOrReplace", self.ident))
+
     class SpyDF:
         def writeTo(self, ident):
             calls.append(("writeTo", ident))
@@ -169,8 +172,29 @@ def test_iceberg_branch_issues_writeTo_calls(monkeypatch):
         assert calls == [("writeTo", "sink.events"), ("append", "sink.events")]
         calls.clear()
 
-        # overwrite on an existing table -> dynamic partition overwrite
+        # overwrite = FULL replace on both legs: createOrReplace is one
+        # atomic snapshot swap AND drops partitions absent from df (dynamic
+        # overwritePartitions would keep them — the Parquet-leg divergence
+        # the round-4 advisory flagged on route.py's partitioned fan-out)
         cat.overwrite(SpyDF(), "events", partition_by=["route"])
+        assert calls == [
+            ("writeTo", "sink.events"),
+            ("partitionedBy", "sink.events", ("route",)),
+            ("createOrReplace", "sink.events"),
+        ]
+        calls.clear()
+
+        # overwrite on a missing table -> same call (createOrReplace creates)
+        cat.overwrite(SpyDF(), "metrics")
+        assert calls == [
+            ("writeTo", "sink.metrics"),
+            ("createOrReplace", "sink.metrics"),
+        ]
+        calls.clear()
+
+        # overwrite_partitions = replace exactly the partitions present in
+        # df (the incremental re-run path at scale)
+        cat.overwrite_partitions(SpyDF(), "events", partition_by=["route"])
         assert calls == [
             ("writeTo", "sink.events"),
             ("partitionedBy", "sink.events", ("route",)),
@@ -178,9 +202,12 @@ def test_iceberg_branch_issues_writeTo_calls(monkeypatch):
         ]
         calls.clear()
 
-        # overwrite on a missing table -> create
-        cat.overwrite(SpyDF(), "metrics")
-        assert calls == [("writeTo", "sink.metrics"), ("create", "sink.metrics")]
+        # overwrite_partitions on a missing table -> create
+        cat.overwrite_partitions(SpyDF(), "metrics2")
+        assert calls == [
+            ("writeTo", "sink.metrics2"),
+            ("create", "sink.metrics2"),
+        ]
         calls.clear()
 
         # reads and existence go through the catalog, not the filesystem
@@ -395,3 +422,66 @@ def test_pipeline_source_format_agnostic(spark, tmp_path):
         assert got.count() == 300, fmt
         assert got.exceptAll(want).count() == 0, fmt
         assert want.exceptAll(got).count() == 0, fmt
+
+
+def test_curate_verify_jaccard_rescues_lsh_false_positive(spark):
+    """Round-5 opt-in exact-verify stage: an LSH band collision with LOW
+    true Jaccard (boilerplate-prefix docs — the classic web false positive)
+    must drop its doc_b under default candidacy-only curation but SURVIVE
+    with ``verify_jaccard`` on, while a true near-dup drops in both modes.
+    The pair is deterministic: docs 1/103 share a 33-word prefix (word-
+    3-gram Jaccard 0.365, verified in-test) yet collide in >=1 of the 16
+    minhash bands; doc 5 is doc 1 plus one word (Jaccard 0.983)."""
+    import hashlib as _hl
+
+    from mysql_cdc_rs_spark.operators import dedup as DD
+    from mysql_cdc_rs_spark.plans.training_pipeline import curate, release
+
+    def words(seed, n, tag):
+        return [
+            f"{tag}{_hl.blake2b(f'{seed}|{tag}|{i}'.encode(), digest_size=4).hexdigest()}"
+            for i in range(n)
+        ]
+
+    base = words(1, 60, "w")
+    texts = {
+        1: " ".join(base),
+        5: " ".join(base) + " tinytail",
+        103: " ".join(base[:33] + words(103, 27, "v3_")),
+    }
+
+    # precondition: (1,103) IS an LSH candidate yet its exact Jaccard is
+    # far below the 0.5 threshold; (1,5) is a true near-dup above it
+    docs = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    cand = DD.lsh_candidate_pairs(docs)
+    ver = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in DD.ngram_jaccard_pairs(docs, candidates=cand).collect()
+    }
+    assert (1, 103) in ver and ver[(1, 103)] < 0.5
+    assert (1, 5) in ver and ver[(1, 5)] > 0.9
+
+    def page(i, text):
+        body = f"<html><body>{text}</body></html>".encode()
+        raw = (
+            f"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n"
+            f"Content-Length: {len(body)}\r\n\r\n"
+        ).encode() + body
+        return (f"https://ex.com/d/{i}", None, raw, None, "en")
+
+    ddl = "url string, warc_ts timestamp, html binary, text string, lang string"
+    pages = spark.createDataFrame([page(i, t) for i, t in texts.items()], ddl)
+
+    # default (candidacy-only): the false positive is over-dropped
+    s0 = curate(pages)
+    got0 = {r["doc_id"] for r in s0.select("doc_id").collect()}
+    release(s0)
+    assert got0 == {1}
+
+    # verification on: the false positive survives, the true dup still drops
+    s1 = curate(pages, verify_jaccard=0.5)
+    got1 = {r["doc_id"] for r in s1.select("doc_id").collect()}
+    release(s1)
+    assert got1 == {1, 103}

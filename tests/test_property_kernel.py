@@ -382,3 +382,148 @@ def test_decode_row_safe_truncated_double_and_garbage_json():
     bad_json = b"\x00" + (5).to_bytes(4, "little") + b"\xee\x01\x02\x03\x04"
     cells, err = R.decode_row_safe(bad_json, [R.T_JSON], [4])
     assert cells is None and err == "TRUNCATED_ROW"
+
+
+# --- round-5 fused batch kernel: byte-identity to decode_page -----------------
+
+from mysql_cdc_rs_spark.kernel.batchdecode import COLUMNS as _BD_COLS
+from mysql_cdc_rs_spark.kernel.batchdecode import decode_batch
+
+
+def _batch_equals_per_row(raws, mime_decoders=None):
+    cols = decode_batch(raws, mime_decoders)
+    want = [decode_page(r) for r in raws]
+    for c in _BD_COLS:
+        got_col = cols[c]
+        want_col = [w[c] for w in want]
+        assert got_col == want_col, (c, got_col[:3], want_col[:3])
+
+
+@given(st.lists(st.binary(max_size=400), max_size=8))
+@settings(max_examples=200)
+def test_decode_batch_equals_decode_page_fuzz(raws):
+    """decode_batch is a fused re-statement of [decode_page(r) for r in rs];
+    arbitrary bytes must produce identical columns (incl. the error rows)."""
+    _batch_equals_per_row(raws)
+
+
+def test_decode_batch_equals_decode_page_generator_mix():
+    """Full generator class mix (html/plain/binary/gzip/redirect/errors,
+    every charset family) — the corpus-shaped identity gate."""
+    from mysql_cdc_rs_spark.sources.pages import (
+        _CLASS_CDF,
+        _LANG_CDF,
+        _encode_record,
+        _pick,
+    )
+
+    raws = []
+    for i in range(3000):
+        lang = _pick(_LANG_CDF, 7, i, "lang")
+        cls = _pick(_CLASS_CDF, 7, i, "cls")
+        raws.append(_encode_record(7, i, lang, cls))
+    raws.append(None)  # NULL_PAYLOAD leg
+    _batch_equals_per_row(raws)
+
+
+def test_decode_batch_edge_records():
+    """Hand-built records targeting the divergence-prone branches:
+    content-encoding with trailing whitespace (decompress_body strips the
+    dispatch token but the output column is verbatim-lowered), duplicate
+    headers (last wins, position of first), unknown encodings, 3xx without
+    Location, 4xx with corrupt gzip (decompress runs BEFORE the status
+    check), and xhtml mime."""
+    import gzip as _gz
+
+    def rec(status, headers, body=b""):
+        head = "\r\n".join([f"HTTP/1.1 {status}", *headers]) + "\r\n\r\n"
+        return head.encode("ascii") + body
+
+    gz = _gz.compress(b"<html><body>hi &amp; bye</body></html>", mtime=0)
+    raws = [
+        rec("200 OK", ["Content-Type: text/html", "Content-Encoding: gzip "], gz),
+        rec("200 OK", ["Content-Type: text/html", "Content-Encoding: GZIP"], gz),
+        rec("200 OK", ["Content-Type: text/html", "Content-Encoding: br"], b"x"),
+        rec("200 OK", ["X-A: 1", "X-A: 2", "Content-Type: text/plain"], b"a  b"),
+        rec("301 Moved", ["Content-Type: text/html"], b"<p>no location</p>"),
+        rec("404 Not Found", ["Content-Encoding: gzip"], b"\x1f\x8bBROKEN"),
+        rec("200 OK", ["Content-Type: application/xhtml+xml"], b"<p>x&nbsp; y</p>"),
+        rec("200 OK", ["Content-Type: text/html; charset=klingon-8"], b"<p>z</p>"),
+        rec("200 OK", [], b"no content type"),
+        rec("204 No Content", ["Content-Type: text/plain; charset=utf-16"], b"\x00h\x00i"),
+    ]
+    _batch_equals_per_row(raws)
+
+
+def test_decode_batch_registered_mime_delegates():
+    """A registered mime decoder must behave identically through
+    decode_batch (which delegates such rows to decode_page) — including
+    the crash-isolation contract."""
+    from mysql_cdc_rs_spark.kernel import registry as R
+
+    R.clear_extensions()
+    try:
+
+        @R.register_mime_decoder("application/json")
+        def _json(body, charset):  # noqa: ANN001
+            return {"event_type": "json", "text": body.decode("utf-8", "replace")}
+
+        @R.register_mime_decoder("application/x-crash")
+        def _boom(body, charset):  # noqa: ANN001
+            raise RuntimeError("boom")
+
+        R.register_route("json", "content_json")
+
+        def rec(ct, body):
+            return (
+                f"HTTP/1.1 200 OK\r\nContent-Type: {ct}\r\n\r\n"
+            ).encode() + body
+
+        raws = [
+            rec("application/json", b'{"a":1}'),
+            rec("application/x-crash", b"x"),
+            rec("text/html", b"<p>normal path</p>"),
+        ]
+        mds = dict(R._MIME_DECODERS)  # noqa: SLF001
+        _batch_equals_per_row(raws, mds)
+        cols = decode_batch(raws, mds)
+        assert cols["event_type"] == ["json", "error_decode", "html"]
+        assert cols["route"][0] == "content_json"
+        assert cols["error"][1] == "EXTENSION_ERROR:RuntimeError"
+    finally:
+        R.clear_extensions()
+
+
+@given(
+    st.text(
+        alphabet="&amplgtqunbsp;#39'x <>\"\t\n",
+        max_size=120,
+    )
+)
+def test_entity_passes_order_equivalence(s):
+    """Round-5 reorder: &nbsp; before the whitespace collapse, the other
+    entities after it (on the shorter collapsed string).  Must be
+    byte-identical to the original all-passes-then-collapse order for any
+    input: only &nbsp; produces whitespace, and no other pattern or
+    replacement contains whitespace, so those passes commute with the
+    collapse."""
+    from mysql_cdc_rs_spark.kernel import textextract as T
+
+    # original order (round-4 semantics), applied to the raw string
+    old = s
+    if "&" in old:
+        for k, v in T._ENTITY_PASSES:
+            old = old.replace(k, v)
+    old = " ".join(old.split())
+
+    # new order as implemented in extract_text (post-markup portion)
+    new = s
+    if "&" in new:
+        new = new.replace("&nbsp;", " ")
+        new = " ".join(new.split())
+        for k, v in T._ENTITY_PASSES_POST_COLLAPSE:
+            new = new.replace(k, v)
+    else:
+        new = " ".join(new.split())
+
+    assert new == old

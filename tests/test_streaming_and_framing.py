@@ -552,3 +552,190 @@ def test_metrics_listener_flush_errors_counted(spark):
     lst.onQueryProgress(_Event())
     lst.flush()
     assert lst.flush_errors == 2
+
+
+def test_compact_seen_buckets_crash_safe(spark):
+    """Round-5 crash-safety contract: at NO instant during compaction is
+    ``dedup_seen_buckets`` unreadable or wrong.  The compacted rows land
+    under a versioned physical name; the live name moves in one atomic
+    manifest flip.  Simulated crashes on both sides of the flip:
+
+      (a) crash AFTER the version-table write, BEFORE the pointer flip:
+          the live table still reads the OLD (uncompacted) rows; a retry
+          completes and the dedup probe behaves identically;
+      (b) crash AFTER the flip, during old-dir cleanup: the live table
+          reads the NEW compacted rows; the orphan dir is cleanup-only.
+    """
+    from mysql_cdc_rs_spark.sources.catalog import SinkCatalog
+    from mysql_cdc_rs_spark.streaming.stream_pipeline import (
+        compact_seen_buckets,
+        read_curated,
+        start_curation_stream,
+        stream_pages,
+    )
+
+    def page(i, text):
+        body = f"<html><body>{text}</body></html>".encode()
+        raw = (
+            f"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n"
+            f"Content-Length: {len(body)}\r\n\r\n"
+        ).encode() + body
+        return (f"https://ex.com/d/{i}", None, raw, None, "en")
+
+    t1 = (
+        "the quick brown fox jumps over the lazy dog again and again "
+        "while seven wizards mix tricky potions for the annual fair " * 2
+    )
+    t2 = (
+        "completely different vocabulary nothing shared at all here "
+        "rivers mountains valleys glaciers meadows forests deserts " * 2
+    )
+    ddl = "url string, warc_ts timestamp, html binary, text string, lang string"
+    with tempfile.TemporaryDirectory() as tmp:
+        src = f"{tmp}/pages"
+        cat = SinkCatalog(spark, f"{tmp}/cur")
+        for batch in ([page(1, t1), page(2, t2)], [page(3, t1 + " x"), page(4, t2 + " y")]):
+            spark.createDataFrame(batch, ddl).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+            q = start_curation_stream(
+                stream_pages(spark, src), cat, f"{tmp}/ckpt", min_tokens=10
+            )
+            q.awaitTermination()
+        baseline_rows = sorted(
+            tuple(r) for r in cat.read("dedup_seen_buckets").collect()
+        )
+        distinct_n = (
+            cat.read("dedup_seen_buckets")
+            .select("band_id", "bucket")
+            .distinct()
+            .count()
+        )
+
+        # (a) crash BEFORE the pointer flip: fail the ptr manifest write
+        real_write = cat.write_manifest
+
+        def crashing_write(name, payload):
+            if name == "ptr_dedup_seen_buckets":
+                raise RuntimeError("simulated crash before pointer flip")
+            real_write(name, payload)
+
+        cat.write_manifest = crashing_write
+        with pytest.raises(RuntimeError):
+            compact_seen_buckets(cat)
+        cat.write_manifest = real_write
+        # live table unchanged — still every pre-crash row, still readable
+        assert (
+            sorted(tuple(r) for r in cat.read("dedup_seen_buckets").collect())
+            == baseline_rows
+        )
+
+        # retry completes; live table is now the distinct set
+        after = compact_seen_buckets(cat)
+        assert after == distinct_n
+        assert cat.read("dedup_seen_buckets").count() == distinct_n
+
+        # (b) crash AFTER the flip, during cleanup of the previous dir
+        real_drop = cat.drop_physical
+
+        def crashing_drop(physical):
+            raise RuntimeError("simulated crash during cleanup")
+
+        cat.drop_physical = crashing_drop
+        with pytest.raises(RuntimeError):
+            compact_seen_buckets(cat)
+        cat.drop_physical = real_drop
+        # the flip already committed: live reads the new compacted table
+        assert cat.read("dedup_seen_buckets").count() == distinct_n
+        ptr = cat.read_manifest("ptr_dedup_seen_buckets")
+        assert ptr is not None and ptr["physical"].startswith(
+            "dedup_seen_buckets__g"
+        )
+
+        # dedup behavior against the compacted + twice-crashed state: a
+        # late near-dup of doc 1 still drops, fresh content still survives
+        spark.createDataFrame(
+            [page(50, t1 + " tail"), page(51, "planets comets meteors "
+             "asteroids moons rings orbits eccentricity inclination "
+             "perihelion aphelion barycenter libration resonance " * 2)],
+            ddl,
+        ).coalesce(1).write.mode("append").parquet(src)
+        q = start_curation_stream(
+            stream_pages(spark, src), cat, f"{tmp}/ckpt", min_tokens=10
+        )
+        q.awaitTermination()
+        got = {r["doc_id"] for r in read_curated(cat).select("doc_id").collect()}
+        assert 50 not in got and 51 in got
+
+
+def test_streaming_curation_out_of_order_arrival(spark):
+    """Round-5 pin of the documented divergence: when micro-batches arrive
+    OUT of doc_id order, the stream keeps the FIRST-ARRIVED member of each
+    near-dup class while batch curate() keeps the LOWEST-ID member.  The
+    survivor-count invariant (one representative per class) must hold
+    either way, and the diff must be exactly the swapped representatives —
+    not a correctness leak."""
+    from mysql_cdc_rs_spark.plans.training_pipeline import curate, release
+    from mysql_cdc_rs_spark.sources.catalog import SinkCatalog
+    from mysql_cdc_rs_spark.streaming.stream_pipeline import (
+        read_curated,
+        start_curation_stream,
+        stream_pages,
+    )
+
+    shared = (
+        "the quick brown fox jumps over the lazy dog again and again "
+        "while seven wizards mix tricky potions for the annual fair " * 2
+    )
+    uniq_a = (
+        "completely different vocabulary nothing shared at all here "
+        "rivers mountains valleys glaciers meadows forests deserts " * 2
+    )
+    uniq_b = (
+        "astronomy telescopes galaxies nebulae quasars pulsars orbit "
+        "gravity spectra redshift parallax photometry occultation " * 2
+    )
+
+    def page(i, text):
+        body = f"<html><body>{text}</body></html>".encode()
+        raw = (
+            f"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n"
+            f"Content-Length: {len(body)}\r\n\r\n"
+        ).encode() + body
+        return (f"https://ex.com/d/{i}", None, raw, None, "en")
+
+    # doc 10 and doc 5 are near-dups of each other; 10 ARRIVES first
+    # (batch 1) even though 5 has the lower doc_id (batch 2)
+    rows_b1 = [page(10, shared), page(2, uniq_a)]
+    rows_b2 = [page(5, shared + " tiny tail"), page(7, uniq_b)]
+    ddl = "url string, warc_ts timestamp, html binary, text string, lang string"
+    with tempfile.TemporaryDirectory() as tmp:
+        src = f"{tmp}/pages"
+        cat = SinkCatalog(spark, f"{tmp}/cur")
+        for rows in (rows_b1, rows_b2):
+            spark.createDataFrame(rows, ddl).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+            q = start_curation_stream(
+                stream_pages(spark, src), cat, f"{tmp}/ckpt", min_tokens=10
+            )
+            q.awaitTermination()
+        stream_set = {
+            r["doc_id"] for r in read_curated(cat).select("doc_id").collect()
+        }
+
+        full = spark.createDataFrame(rows_b1 + rows_b2, ddl)
+        surv = curate(full, min_tokens=10)
+        batch_set = {r["doc_id"] for r in surv.select("doc_id").collect()}
+        release(surv)
+
+        # batch keep-first-by-id keeps 5; the stream (arrival order) keeps 10
+        assert 5 in batch_set and 10 not in batch_set
+        assert 10 in stream_set and 5 not in stream_set
+        # the divergence is EXACTLY the swapped pair — nothing else moves
+        assert batch_set - stream_set == {5}
+        assert stream_set - batch_set == {10}
+        # invariants shared by both semantics: same survivor count (one
+        # representative per near-dup class) and never both members
+        assert len(stream_set) == len(batch_set)
+        assert not {5, 10} <= stream_set and not {5, 10} <= batch_set
