@@ -541,10 +541,15 @@ def _write_bench_md(r: dict) -> None:
         ]
     lines += [
         "## Operator queries (noop sink, min-of-3 after warm, sec)",
-        "", "| query | sec |", "|---|---|",
+        "",
+        "host load1 at each query's measurement is recorded so sub-second "
+        "drift (the TPC-H trio moved +7-14% between driver runs on "
+        "untouched code) is attributable to the box, not the plan.",
+        "", "| query | sec | load1 at measure |", "|---|---|---|",
     ]
+    qload = r.get("queries_host_load1", {})
     for k, v in sorted(r["queries"].items()):
-        lines.append(f"| {k} | {v} |")
+        lines.append(f"| {k} | {v} | {qload.get(k, '—')} |")
     lines.append("")
     with open(f"{REPO}/BENCH/BASELINE.md", "w") as f:
         f.write("\n".join(lines))

@@ -46,6 +46,15 @@ def build_session(
         # 2000-row batches keep the JVM->Python->JVM pipeline full: with one
         # huge batch per task the stage is latency-bound (measured 2.2x
         # slower at local[32]); small batches overlap Arrow IO with decode.
+        # This bound is ALSO the Python-worker memory cap for the decode
+        # path: a worker holds ~one batch of raw html + one of decoded
+        # output (~2-5 MB at 2000 rows of ~1 KB pages), so worker RSS stays
+        # flat regardless of task size — relevant to the 12.8M-probe
+        # hung-worker incident (BENCH/SOAK.md): an unbounded batch would
+        # make worker memory proportional to partition size and OOM-kills
+        # would correlate with the largest partitions.  With this bound in
+        # place, a dead worker is environmental; speculation (below) is the
+        # fleet-scale backstop either way.
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2000")
         # --- scan sizing: keep partitions executor-memory-friendly at scale ---
         .config("spark.sql.files.maxPartitionBytes", "134217728")

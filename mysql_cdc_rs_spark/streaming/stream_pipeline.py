@@ -209,15 +209,27 @@ def start_curation_stream(
     ``plans.training_pipeline.curate`` (keep-first by ARRIVAL instead of by
     doc_id).
 
-    Dedup state is an append-only ``dedup_seen_buckets`` table holding the
-    (band_id, bucket) rows of every QUALITY doc seen so far — not just the
-    survivors': batch keep-first drops a doc that collides with ANY earlier
-    quality doc, dropped or not, and matching that makes the stream (fed in
-    doc_id order) produce exactly the batch survivor set.  Per batch:
+    Dedup state is an append-only ``dedup_seen_buckets`` table holding, for
+    every QUALITY doc seen so far (not just survivors'), the per-bucket
+    MEMBER COUNT per batch: batch keep-first drops a doc that collides with
+    ANY earlier quality doc, dropped or not, and the counts let the stream
+    apply batch mode's degenerate-bucket cap exactly.
 
-      quality -> within-batch keep-first (the same lsh_candidate_pairs,
-      banded buckets computed ONCE and reused) -> anti-join docs whose
-      bucket appeared in any prior batch -> append survivors + buckets.
+    Per batch, ONE positional rule replaces both the within-batch pair
+    explosion and the uncapped membership probe (the round-5 fix — at 1.6M
+    the old uncapped probe over-dropped 65 docs living past position
+    ``max_bucket`` of boilerplate buckets):
+
+      a doc DROPS iff, in some band bucket, its global arrival position
+      p = (prior batches' member count) + (rank within this batch)
+      satisfies 2 <= p <= max_bucket.
+
+    Position 1 is the bucket's keeper; positions above the cap survive —
+    exactly ``lsh_candidate_pairs``'s capped doc_b drop set when the feed
+    arrives in doc_id order, so the stream reproduces batch ``curate()``
+    bit-for-bit in that regime (pinned at 1.6M scale in BENCH/SOAK.md).
+    And it is CHEAPER than pair generation: a row_number window + one
+    aggregate-join on the bucket key, no member arrays, no pair explode.
 
     Scale shape: state lives in a table, not on the driver or in executor
     memory; the cross-batch probe is one equi-join on (band_id, bucket) —
@@ -229,10 +241,13 @@ def start_curation_stream(
     readers drop by filtering batch_id > last-completed (the relay-log
     torn-tail rule, segment.rs:137-140, restated for micro-batches).
     """
+    from pyspark.sql import Window
+
     from mysql_cdc_rs_spark.functions.text import words_of
     from mysql_cdc_rs_spark.operators import dedup as DD
 
     SEEN, CURATED, MANIFEST = "dedup_seen_buckets", "curated", "stream_curate"
+    cap = DD.MAX_BUCKET
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         m = catalog.read_manifest(MANIFEST)
@@ -248,27 +263,33 @@ def start_curation_stream(
             F.size(words_of(F.col("text"))) >= min_tokens
         ).persist()
         banded = DD.banded_buckets(quality).persist()
-        pairs = DD.lsh_candidate_pairs(quality, banded=banded)
-        drops_in = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
-        survivors = quality.join(drops_in, "doc_id", "left_anti")
+        w = Window.partitionBy("band_id", "bucket").orderBy("doc_id")
+        ranked = banded.withColumn("r", F.row_number().over(w))
         if catalog.exists(SEEN):
-            seen = (
+            prior = (
                 catalog.read(SEEN)
                 .where(F.col("batch_id") <= last)  # drop torn tails
-                .select("band_id", "bucket")
+                .groupBy("band_id", "bucket")
+                .agg(F.sum("n_members").alias("p"))
             )
-            hit = (
-                banded.join(seen, ["band_id", "bucket"])
-                .select("doc_id")
-                .distinct()
-            )
-            survivors = survivors.join(hit, "doc_id", "left_anti")
+            ranked = ranked.join(
+                prior, ["band_id", "bucket"], "left"
+            ).withColumn("p", F.coalesce(F.col("p"), F.lit(0)))
+        else:
+            ranked = ranked.withColumn("p", F.lit(0).cast("long"))
+        pos = F.col("p") + F.col("r")
+        drops = (
+            ranked.where((pos >= 2) & (pos <= cap))
+            .select("doc_id")
+            .distinct()
+        )
+        survivors = quality.join(drops, "doc_id", "left_anti")
         catalog.append(
             survivors.withColumn("batch_id", F.lit(batch_id)), CURATED
         )
         catalog.append(
-            banded.select("band_id", "bucket")
-            .distinct()
+            banded.groupBy("band_id", "bucket")
+            .agg(F.count("*").alias("n_members"))
             .withColumn("batch_id", F.lit(batch_id)),
             SEEN,
         )
@@ -285,14 +306,16 @@ def start_curation_stream(
 
 
 def compact_seen_buckets(catalog) -> int:
-    """Rewrite ``dedup_seen_buckets`` as DISTINCT (band_id, bucket) rows.
+    """Rewrite ``dedup_seen_buckets`` as one summed row per (band_id,
+    bucket).
 
-    The stream appends one file-set per micro-batch and never dedups the
+    The stream appends one file-set per micro-batch and never merges the
     bucket rows across batches; over a long run the table accumulates both
-    small files and repeated buckets.  Compaction collapses it to the
-    distinct bucket set tagged with the last COMPLETED batch id (torn
-    tails from a mid-batch crash are dropped by the same batch_id filter
-    the probe uses).  Run it BETWEEN stream runs — the availableNow
+    small files and repeated buckets.  Compaction collapses it to one row
+    per bucket with ``n_members`` summed (sum is exactly what the probe
+    aggregates at read time, so probe results are unchanged), tagged with
+    the last COMPLETED batch id (torn tails from a mid-batch crash are
+    dropped by the same batch_id filter the probe uses).  Run it BETWEEN stream runs — the availableNow
     drain-then-stop pattern — never concurrently with one.  At 10^12 docs
     this is the periodic maintenance job that keeps the probe-side join
     input proportional to distinct buckets, not to batches.
@@ -317,8 +340,8 @@ def compact_seen_buckets(catalog) -> int:
     seen = (
         catalog.read("dedup_seen_buckets")
         .where(F.col("batch_id") <= last)
-        .select("band_id", "bucket")
-        .distinct()
+        .groupBy("band_id", "bucket")
+        .agg(F.sum("n_members").alias("n_members"))
         .withColumn("batch_id", F.lit(last))
     )
     if getattr(catalog, "use_iceberg", False):

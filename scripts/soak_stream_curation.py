@@ -1,0 +1,191 @@
+"""Streaming-curation soak: 1.6M pages through start_curation_stream.
+
+Protocol (VERDICT r4 ask #4):
+  1. generate the deterministic 1.6M-page corpus as 16 doc_id-ordered
+     chunk files (ids [i*100k, (i+1)*100k) in file i — ordered feed is the
+     regime in which the stream reproduces batch curate() exactly);
+  2. phase A: drain chunks 0-7 with availableNow (maxFilesPerTrigger=1 ->
+     one micro-batch per chunk);
+  3. run compact_seen_buckets MID-RUN (between stream runs, the documented
+     contract) and record state-table rows/bytes before and after;
+  4. phase B: drain chunks 8-15 across the restart (state read back from
+     the compacted table);
+  5. compare the full survivor set against batch curate() over all 1.6M.
+
+Usage: python scripts/soak_stream_curation.py [n_total] [n_chunks]
+Prints one JSON line; paste the numbers into BENCH/SOAK.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+N_TOTAL = int(sys.argv[1]) if len(sys.argv) > 1 else 1_600_000
+N_CHUNKS = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+CHUNK = N_TOTAL // N_CHUNKS
+WORK = f"/tmp/spark_graft_stream_soak_{N_TOTAL}"
+
+
+def chunk_df(spark, start: int, end: int, seed: int = 42):
+    """pages_df over an id SLICE (the generator is pure in (seed, id))."""
+    import pandas as pd
+
+    from mysql_cdc_rs_spark.sources.pages import PAGES_SCHEMA, make_record
+
+    def gen(batches):
+        for pdf in batches:
+            rows = [make_record(seed, int(i)) for i in pdf["id"]]
+            yield pd.DataFrame(
+                rows, columns=["url", "warc_ts", "html", "text", "lang"]
+            )
+
+    return spark.range(start, end, numPartitions=16).mapInPandas(
+        gen, schema=PAGES_SCHEMA
+    )
+
+
+def du_mb(path: str) -> float:
+    total = 0
+    for root, _, files in os.walk(path):
+        for f in files:
+            total += os.path.getsize(os.path.join(root, f))
+    return round(total / 1e6, 1)
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from mysql_cdc_rs_spark.session import build_session
+    from mysql_cdc_rs_spark.sources.catalog import SinkCatalog
+    from mysql_cdc_rs_spark.streaming.stream_pipeline import (
+        compact_seen_buckets,
+        read_curated,
+        start_curation_stream,
+        stream_pages,
+    )
+
+    spark = build_session(
+        "stream-soak", extra_conf={"spark.ui.showConsoleProgress": "false"}
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    out: dict = {"n_total": N_TOTAL, "n_chunks": N_CHUNKS}
+    out["host_load_at_start"] = [round(x, 2) for x in os.getloadavg()]
+
+    src = f"{WORK}/pages"
+    cur = f"{WORK}/cur"
+    ckpt = f"{WORK}/ckpt"
+    for d in (cur, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+
+    # --- 1. chunked, doc_id-ordered input (UNTIMED prep) -------------------
+    if not os.path.isdir(src) or len(
+        [f for f in os.listdir(src) if f.endswith(".parquet")]
+    ) != N_CHUNKS:
+        shutil.rmtree(src, ignore_errors=True)
+        seen_files: set[str] = set()
+        base_ts = int(time.time())
+        for i in range(N_CHUNKS):
+            chunk_df(spark, i * CHUNK, (i + 1) * CHUNK).repartition(1).write.mode(
+                "append"
+            ).parquet(src)
+            # pin a strictly increasing mtime per chunk: FileStreamSource
+            # orders by (modification time, path), and doc_id-ordered feed
+            # is what makes the stream reproduce batch curate() exactly
+            new = {
+                f for f in os.listdir(src) if f.endswith(".parquet")
+            } - seen_files
+            for f in new:
+                os.utime(os.path.join(src, f), (base_ts + i, base_ts + i))
+            seen_files |= new
+    cat = SinkCatalog(spark, cur)
+
+    def drain() -> float:
+        t0 = time.monotonic()
+        q = start_curation_stream(
+            stream_pages(spark, src, max_files_per_trigger=1), cat, ckpt
+        )
+        q.awaitTermination()
+        return time.monotonic() - t0
+
+    # --- 2. phase A: first half (chunk order == mtime order) ---------------
+    half = sorted(
+        (f for f in os.listdir(src) if f.endswith(".parquet")),
+        key=lambda f: os.path.getmtime(os.path.join(src, f)),
+    )
+    hold = f"{WORK}/hold"
+    shutil.rmtree(hold, ignore_errors=True)
+    os.makedirs(hold)
+    for f in half[N_CHUNKS // 2 :]:
+        shutil.move(os.path.join(src, f), os.path.join(hold, f))
+    a_sec = drain()
+    out["phase_a"] = {
+        "docs": N_TOTAL // 2,
+        "sec": round(a_sec, 3),
+        "docs_per_sec": round((N_TOTAL / 2) / a_sec, 1),
+    }
+
+    # --- 3. mid-run compaction ---------------------------------------------
+    seen_before = cat.read("dedup_seen_buckets").count()
+    mb_before = du_mb(os.path.join(cur, cat.resolve("dedup_seen_buckets")))
+    t0 = time.monotonic()
+    seen_after = compact_seen_buckets(cat)
+    c_sec = time.monotonic() - t0
+    mb_after = du_mb(os.path.join(cur, cat.resolve("dedup_seen_buckets")))
+    out["compaction"] = {
+        "rows_before": seen_before,
+        "rows_after": seen_after,
+        "mb_before": mb_before,
+        "mb_after": mb_after,
+        "sec": round(c_sec, 3),
+    }
+
+    # --- 4. phase B: second half across the restart ------------------------
+    for f in sorted(os.listdir(hold)):
+        shutil.move(os.path.join(hold, f), os.path.join(src, f))
+    b_sec = drain()
+    out["phase_b"] = {
+        "docs": N_TOTAL // 2,
+        "sec": round(b_sec, 3),
+        "docs_per_sec": round((N_TOTAL / 2) / b_sec, 1),
+    }
+    out["stream_total"] = {
+        "sec": round(a_sec + b_sec, 3),
+        "docs_per_sec": round(N_TOTAL / (a_sec + b_sec), 1),
+    }
+
+    # --- 5. survivor equality vs batch curate ------------------------------
+    from mysql_cdc_rs_spark.plans.training_pipeline import curate, release
+
+    stream_ids = {
+        r["doc_id"] for r in read_curated(cat).select("doc_id").collect()
+    }
+    pages_all = spark.read.parquet(src)
+    t0 = time.monotonic()
+    surv = curate(pages_all)
+    batch_ids = {r["doc_id"] for r in surv.select("doc_id").collect()}
+    batch_sec = time.monotonic() - t0
+    release(surv)
+    out["batch_compare"] = {
+        "batch_sec": round(batch_sec, 3),
+        "batch_docs_per_sec": round(N_TOTAL / batch_sec, 1),
+        "stream_survivors": len(stream_ids),
+        "batch_survivors": len(batch_ids),
+        "identical": stream_ids == batch_ids,
+        "only_stream": len(stream_ids - batch_ids),
+        "only_batch": len(batch_ids - stream_ids),
+    }
+    out["host_load_at_end"] = [round(x, 2) for x in os.getloadavg()]
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -739,3 +739,59 @@ def test_streaming_curation_out_of_order_arrival(spark):
         # representative per near-dup class) and never both members
         assert len(stream_set) == len(batch_set)
         assert not {5, 10} <= stream_set and not {5, 10} <= batch_set
+
+
+def test_streaming_curation_degenerate_bucket_cap_matches_batch(spark):
+    """Round-5 scale fix: the 1.6M soak caught the stream over-dropping
+    docs past position ``MAX_BUCKET`` of a degenerate (boilerplate)
+    bucket — batch mode's cap lets them survive, the old uncapped
+    membership probe did not.  520 identical-text docs (same bucket in
+    every band) fed across two ordered micro-batches: position 1 keeps,
+    2..512 drop, 513..520 keep — and the stream must reproduce the batch
+    survivor set exactly."""
+    from mysql_cdc_rs_spark.operators.dedup import MAX_BUCKET
+    from mysql_cdc_rs_spark.plans.training_pipeline import curate, release
+    from mysql_cdc_rs_spark.sources.catalog import SinkCatalog
+    from mysql_cdc_rs_spark.streaming.stream_pipeline import (
+        read_curated,
+        start_curation_stream,
+        stream_pages,
+    )
+
+    n = MAX_BUCKET + 8  # 520
+    boiler = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do"
+
+    def page(i):
+        body = f"<html><body>{boiler}</body></html>".encode()
+        raw = (
+            f"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n"
+            f"Content-Length: {len(body)}\r\n\r\n"
+        ).encode() + body
+        return (f"https://ex.com/d/{i}", None, raw, None, "en")
+
+    ddl = "url string, warc_ts timestamp, html binary, text string, lang string"
+    rows = [page(i) for i in range(1, n + 1)]
+    with tempfile.TemporaryDirectory() as tmp:
+        src = f"{tmp}/pages"
+        cat = SinkCatalog(spark, f"{tmp}/cur")
+        # two ordered micro-batches: ids 1..300, then 301..520 (the cap
+        # boundary falls inside batch 2 — prior count + in-batch rank)
+        for chunk in (rows[:300], rows[300:]):
+            spark.createDataFrame(chunk, ddl).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+            q = start_curation_stream(
+                stream_pages(spark, src), cat, f"{tmp}/ckpt", min_tokens=5
+            )
+            q.awaitTermination()
+        stream_set = {
+            r["doc_id"] for r in read_curated(cat).select("doc_id").collect()
+        }
+
+        surv = curate(spark.createDataFrame(rows, ddl), min_tokens=5)
+        batch_set = {r["doc_id"] for r in surv.select("doc_id").collect()}
+        release(surv)
+
+        want = {1} | set(range(MAX_BUCKET + 1, n + 1))  # 1 and 513..520
+        assert batch_set == want
+        assert stream_set == want
