@@ -142,13 +142,15 @@ def main() -> None:
     # to survive it.  Recording it makes run-to-run deltas interpretable.
     result["host_load_at_start"] = [round(x, 2) for x in os.getloadavg()]
 
-    # --- headline: full pipeline at BOTH parallelism levels -------------------
+    # --- headline: full pipeline at THREE parallelism levels ------------------
     # Each pandas-UDF task needs a JVM thread AND a python worker, so
-    # local[32] oversubscribes this shared 32-core host (r2 lesson: its
-    # committed local[32] headline was inverted by its own local[8] leg).
-    # The headline is therefore the BEST level; both are published.
+    # local[16] saturates exactly this 32-thread host while local[32]
+    # oversubscribes it 2x (r2 lesson: its committed local[32] headline
+    # was inverted by its own local[8] leg; r5 probe: 16 > 12 > 24 = 8).
+    # The headline is the BEST level; all are published.
     full: dict = {}
-    for n in (8, CPUS) if CPUS != 8 else (8,):
+    levels = [n for n in (8, 16, CPUS) if n <= CPUS]
+    for n in dict.fromkeys(levels):
         s = build(f"local[{n}]")
         materialize_pages(s)
         full_pipeline_job(s)

@@ -239,9 +239,20 @@ def ngram_jaccard_pairs(
         cand = candidates.select("doc_a", "doc_b").distinct()
         a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
         b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+        # merge-join hints, deliberately: every input here scales with the
+        # corpus (|pairs| with its dup mass, shingles with its text), and
+        # the pair x shingle intermediate defeats Catalyst's size
+        # estimation — at 200k generator docs the planner mis-estimated it
+        # under the broadcast threshold and OOM'd the driver building the
+        # broadcast (caught by the round-5 verify census).  SMJ is the
+        # spill-safe strategy for joins whose BOTH sides are unbounded by
+        # construction; this is the same reasoning as curate's un-hinted
+        # anti-join, landing on the opposite conclusion because there the
+        # small side CAN legitimately be small.
         inter = (
-            cand.join(a, "doc_a")
-            .join(b, ["doc_b", "shingle"])
+            cand.hint("merge")
+            .join(a.hint("merge"), "doc_a")
+            .join(b.hint("merge"), ["doc_b", "shingle"])
             .groupBy("doc_a", "doc_b")
             .agg(F.count("*").alias("n_inter"))
         )

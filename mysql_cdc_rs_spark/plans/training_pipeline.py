@@ -41,6 +41,7 @@ def curate(
     doc_id_expr=None,
     min_tokens: int = DEFAULT_MIN_TOKENS,
     verify_jaccard: float | None = None,
+    verify_max_pairs: int = 4,
 ) -> DataFrame:
     """pages -> surviving (doc_id, text) corpus.
 
@@ -50,10 +51,23 @@ def curate(
     verify_jaccard: opt-in exact-verification stage.  By default survivors
     drop on LSH candidacy alone, which over-drops on band collisions
     (bucket agreement without real similarity).  With a threshold set, the
-    exact word-3-gram Jaccard is computed FOR THE CANDIDATE PAIRS ONLY
-    (``ngram_jaccard_pairs(candidates=...)`` — O(|pairs| x shingles/doc),
-    never corpus-quadratic) and only pairs at or above the threshold drop
-    their doc_b.  Off (None) leaves the plan byte-identical to round 4's.
+    exact word-3-gram Jaccard is computed for candidate pairs
+    (``ngram_jaccard_pairs(candidates=...)``) and only pairs at or above
+    the threshold drop their doc_b.  Off (None) leaves the plan
+    byte-identical to round 4's.
+
+    verify_max_pairs BOUNDS the verification work: only each doc_b's
+    ``verify_max_pairs`` lowest-doc_a candidate pairs are verified (a
+    partitioned row_number, no global sort).  This is scale-critical, not
+    cosmetic: on a high-dup-mass corpus candidacy is quadratic-ish inside
+    the capped buckets — the 200k generator corpus yields 12.77M candidate
+    pairs for 151k candidate drops (84 pairs/doc_b), and verifying ALL of
+    them is O(|pairs| x shingles/doc) ≈ 4B join rows, which OOM'd a 32-core
+    local run and would dominate a fleet job for no recall gain.  The k
+    lowest-id partners are the near-dup cluster's core members, so a real
+    duplicate verifies against them; a doc_b whose only high-J partner
+    falls outside its k window survives (documented under-drop risk,
+    favoring keeping data over dropping it).
     """
     decoded = decode_pages(pages)
     if doc_id_expr is None:
@@ -76,8 +90,16 @@ def curate(
 
     pairs = DD.lsh_candidate_pairs(quality)
     if verify_jaccard is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("doc_b").orderBy("doc_a")
+        bounded = (
+            pairs.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= verify_max_pairs)
+            .drop("_rn")
+        )
         pairs = DD.ngram_jaccard_pairs(
-            quality, min_jaccard=verify_jaccard, candidates=pairs
+            quality, min_jaccard=verify_jaccard, candidates=bounded
         )
     # keep-first policy: any doc that is the HIGHER member of a candidate
     # pair is a near-duplicate of an earlier doc -> dropped.  No broadcast
