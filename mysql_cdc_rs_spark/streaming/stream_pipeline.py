@@ -234,7 +234,12 @@ def start_curation_stream(
     Scale shape: state lives in a table, not on the driver or in executor
     memory; the cross-batch probe is one equi-join on (band_id, bucket) —
     at 10^12 docs the bucket is the table's physical partition key and the
-    probe prunes to touched buckets.  Restart safety: each batch's appends
+    probe prunes to touched buckets.  The probe join strategy is
+    deliberately planner-chosen: early in a stream the aggregated state is
+    tiny (broadcast is right), mature state is proportional to distinct
+    buckets (SMJ is right), and unlike the verify stage's pair x shingle
+    intermediates the input here is a real table with real stats, so the
+    estimate AQE re-plans on is trustworthy.  Restart safety: each batch's appends
     carry batch_id and a manifest records the last COMPLETED batch, so a
     replayed batch (restart between sink append and checkpoint commit) is
     skipped; a crash inside a batch can leave a partial append, which

@@ -485,3 +485,34 @@ def test_curate_verify_jaccard_rescues_lsh_false_positive(spark):
     got1 = {r["doc_id"] for r in s1.select("doc_id").collect()}
     release(s1)
     assert got1 == {1, 103}
+
+
+def test_overwrite_partitions_parquet_leg_keeps_absent_partitions(spark):
+    """Executed Parquet-leg semantics of the round-5 split: ``overwrite``
+    is a FULL replace (partitions absent from the df disappear) while
+    ``overwrite_partitions`` replaces exactly the partitions present and
+    keeps the rest — per-write dynamic mode, session default untouched."""
+    with tempfile.TemporaryDirectory() as base:
+        cat = SinkCatalog(spark, base)
+        df = spark.createDataFrame(
+            [("a", 1), ("a", 2), ("b", 10)], "route string, v int"
+        )
+        cat.overwrite(df, "t", partition_by=["route"])
+        assert cat.read("t").count() == 3
+
+        # dynamic: replace only route=a, keep route=b
+        da = spark.createDataFrame([("a", 99)], "route string, v int")
+        cat.overwrite_partitions(da, "t", partition_by=["route"])
+        got = {(r["route"], r["v"]) for r in cat.read("t").collect()}
+        assert got == {("a", 99), ("b", 10)}
+
+        # full replace: route=b vanishes
+        cat.overwrite(da, "t", partition_by=["route"])
+        got2 = {(r["route"], r["v"]) for r in cat.read("t").collect()}
+        assert got2 == {("a", 99)}
+
+        # session default partitionOverwriteMode must still be static
+        assert (
+            spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC").upper()
+            == "STATIC"
+        )
