@@ -256,6 +256,10 @@ def ngram_jaccard_pairs(
             .groupBy("doc_a", "doc_b")
             .agg(F.count("*").alias("n_inter"))
         )
+        # the per-doc size table is corpus-sized too (one row per doc) —
+        # same no-broadcast reasoning on the at-scale path; standalone
+        # mode below stays planner-chosen (it is the small-SF oracle leg)
+        sizes = sizes.hint("merge")
     else:
         inter = shared_shingle_inter(docs, max_bucket)
     out = (
