@@ -266,3 +266,23 @@ def test_ivf_cell_partition_pruning(spark, tmp_path):
     # and the pruned read returns exactly the cell's rows
     want = assigned.filter(F.col("cent_id") == cell).count()
     assert probe.count() == want > 0
+
+
+def test_verify_jaccard_candidates_no_broadcast(spark):
+    """Round-5 OOM fix pinned: in candidates mode every ngram-Jaccard join
+    input scales with the corpus (pairs with dup mass, shingles with
+    text, sizes one-row-per-doc), so the plan must contain NO broadcast
+    join — Catalyst mis-estimated the pair×shingle intermediate under the
+    threshold at 200k docs and OOM'd the driver building the broadcast.
+    The merge hints force spill-safe SMJ regardless of the estimate."""
+    from mysql_cdc_rs_spark.operators import dedup as DD
+    from mysql_cdc_rs_spark.sources.testdata import load
+
+    docs = load(spark, SF, "documents").selectExpr(
+        "doc_id", "lower(text) as text"
+    )
+    pairs = DD.lsh_candidate_pairs(docs)
+    ver = DD.ngram_jaccard_pairs(docs, candidates=pairs)
+    plan = _formatted(spark, ver)
+    assert "BroadcastHashJoin" not in plan and "BroadcastExchange" not in plan
+    assert "SortMergeJoin" in plan
