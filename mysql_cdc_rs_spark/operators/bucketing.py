@@ -22,11 +22,21 @@ def write_bucketed(
     bucket_cols: list[str],
     n_buckets: int,
     sort_cols: list[str] | None = None,
+    path: str | None = None,
 ) -> None:
-    """Persist df as a bucketed (+optionally sorted) managed table."""
+    """Persist df as a bucketed (+optionally sorted) table.
+
+    ``path`` makes the table EXTERNAL: files land at ``path`` (which
+    outlives the session) instead of the session warehouse, and a later
+    session can re-attach a table definition over them with ``CREATE TABLE
+    ... CLUSTERED BY ... LOCATION`` — bucket membership is encoded in the
+    file names, so the spec survives without any metastore.
+    """
     w = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
     if sort_cols:
         w = w.sortBy(*sort_cols)
+    if path:
+        w = w.option("path", path)
     w.format("parquet").saveAsTable(table)
 
 

@@ -246,8 +246,6 @@ def start_curation_stream(
     readers drop by filtering batch_id > last-completed (the relay-log
     torn-tail rule, segment.rs:137-140, restated for micro-batches).
     """
-    from pyspark.sql import Window
-
     from mysql_cdc_rs_spark.functions.text import words_of
     from mysql_cdc_rs_spark.operators import dedup as DD
 
@@ -268,23 +266,10 @@ def start_curation_stream(
             F.size(words_of(F.col("text"))) >= min_tokens
         ).persist()
         banded = DD.banded_buckets(quality).persist()
-        w = Window.partitionBy("band_id", "bucket").orderBy("doc_id")
-        ranked = banded.withColumn("r", F.row_number().over(w))
-        if catalog.exists(SEEN):
-            prior = (
-                catalog.read(SEEN)
-                .where(F.col("batch_id") <= last)  # drop torn tails
-                .groupBy("band_id", "bucket")
-                .agg(F.sum("n_members").alias("p"))
-            )
-            ranked = ranked.join(
-                prior, ["band_id", "bucket"], "left"
-            ).withColumn("p", F.coalesce(F.col("p"), F.lit(0)))
-        else:
-            ranked = ranked.withColumn("p", F.lit(0).cast("long"))
         pos = F.col("p") + F.col("r")
         drops = (
-            ranked.where((pos >= 2) & (pos <= cap))
+            seen_positions(banded, catalog, last)
+            .where((pos >= 2) & (pos <= cap))
             .select("doc_id")
             .distinct()
         )
@@ -310,7 +295,137 @@ def start_curation_stream(
     return writer.start()
 
 
-def compact_seen_buckets(catalog) -> int:
+def _ensure_compact_table(catalog, m: dict) -> None:
+    """(Re)attach the external bucketed compacted-state table.
+
+    The table's FILES live under ``catalog.base`` (bucket membership is in
+    the file names), but its catalog entry is session-scoped under Spark's
+    default in-memory catalog — and the dedup state must outlive any one
+    session.  The ``seen_compact`` manifest carries everything needed to
+    recreate the definition, so a fresh session self-heals with one DDL
+    before the first probe (the Hive-metastore/Iceberg-catalog analog of a
+    persistent table registration).
+    """
+    import os
+
+    spark, table = catalog.spark, m["table"]
+    if spark.catalog.tableExists(table):
+        return
+    loc = os.path.join(os.path.abspath(catalog.base), table)
+    spark.sql(
+        f"CREATE TABLE {table} "
+        "(band_id INT, bucket STRING, n_members BIGINT) "
+        "USING parquet CLUSTERED BY (band_id, bucket) "
+        f"SORTED BY (band_id, bucket) INTO {m['n_buckets']} BUCKETS "
+        f"LOCATION '{loc}'"
+    )
+
+
+def _seen_components(catalog, last: int):
+    """The two physical pieces of the seen-bucket state as of completed
+    batch ``last``: ``(compacted, tail, through)``.
+
+    ``compacted`` — the bucketed compacted generation (one PRE-AGGREGATED
+    row per (band_id, bucket), covering batches ``<= through``), or None if
+    no bucketed compaction has run.  It is a managed table bucketed+sorted
+    on the probe key, so consumers joining on (band_id, bucket) pay NO
+    exchange and NO sort on this — the unbounded — side.
+
+    ``tail`` — the flat append-only rows from batches in ``(through,
+    last]``, aggregated to (band_id, bucket, n_members), or None when
+    empty/absent.  Parquet min/max stats on batch_id skip the pre-``through``
+    files wholesale (each micro-batch appended its own files), so the tail
+    scan is proportional to data since the last compaction, not to history.
+
+    Both pieces carry the same schema, and summing them per bucket is
+    exactly the probe's prior count — the invariant every consumer
+    (the per-batch probe, both compaction flavors) is built on.
+    """
+    comp, through = None, -1
+    m = catalog.read_manifest("seen_compact")
+    if m and m.get("through", -1) >= 0:
+        through = m["through"]
+        _ensure_compact_table(catalog, m)
+        comp = catalog.spark.table(m["table"]).select(
+            "band_id", "bucket", "n_members"
+        )
+    tail = None
+    if catalog.exists("dedup_seen_buckets"):
+        tail = (
+            catalog.read("dedup_seen_buckets")
+            .where(
+                (F.col("batch_id") > through) & (F.col("batch_id") <= last)
+            )  # exclude compacted-away history AND torn tails
+            .groupBy("band_id", "bucket")
+            .agg(F.sum("n_members").alias("n_members"))
+        )
+    return comp, tail, through
+
+
+def seen_positions(banded: DataFrame, catalog, last: int) -> DataFrame:
+    """Rank ``banded`` (doc_id, band_id, bucket) rows by GLOBAL bucket
+    position: prior members across all completed batches + arrival rank
+    within this batch — the one positional quantity the streaming dedup
+    rule consumes (drop iff 2 <= pos <= cap; column ``p`` is the prior
+    count, ``r`` the within-batch rank, pos = p + r).
+
+    Scale shape (the round-5 follow-through on "bucket is the table's
+    physical partition key"): the prior arrives in two joins instead of one
+    union+groupBy so the compacted generation — the piece that grows with
+    corpus history — is consumed AS STORED: pre-aggregated (no per-batch
+    groupBy over 10^9+ state rows) and bucketed on the join key (no
+    per-batch exchange, no sort; the scan is the whole cost).  Only the
+    small post-compaction tail pays an aggregate+shuffle, and that input is
+    bounded by compaction cadence, not corpus size.  Join strategies stay
+    planner-chosen: real tables give AQE real stats.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band_id", "bucket").orderBy("doc_id")
+    ranked = banded.withColumn("r", F.row_number().over(w))
+    comp, tail, _ = _seen_components(catalog, last)
+    zero = F.lit(0).cast("long")
+    if comp is not None:
+        ranked = ranked.join(
+            comp.withColumnRenamed("n_members", "p_comp"),
+            ["band_id", "bucket"],
+            "left",
+        )
+    else:
+        ranked = ranked.withColumn("p_comp", zero)
+    if tail is not None:
+        ranked = ranked.join(
+            tail.withColumnRenamed("n_members", "p_tail"),
+            ["band_id", "bucket"],
+            "left",
+        )
+    else:
+        ranked = ranked.withColumn("p_tail", zero)
+    return ranked.withColumn(
+        "p", F.coalesce("p_comp", zero) + F.coalesce("p_tail", zero)
+    ).drop("p_comp", "p_tail")
+
+
+def _swap_seen(catalog, df: DataFrame) -> None:
+    """Replace the flat ``dedup_seen_buckets`` table with ``df`` behind the
+    versioned-name + atomic-pointer-flip protocol (crash on either side of
+    the flip leaves a readable, correct table)."""
+    ptr = catalog.read_manifest("ptr_dedup_seen_buckets")
+    gen = (ptr.get("gen", 0) if ptr else 0) + 1
+    version = f"dedup_seen_buckets__g{gen}"
+    # 1. materialize under the version name (overwrite: retries idempotent)
+    catalog.overwrite(df, version)
+    # 2. the commit: one atomic manifest replace moves the live name
+    prev = catalog.resolve("dedup_seen_buckets")
+    catalog.write_manifest(
+        "ptr_dedup_seen_buckets", {"physical": version, "gen": gen}
+    )
+    # 3. post-commit cleanup (best-effort; an orphan dir is the worst case)
+    if prev != version:
+        catalog.drop_physical(prev)
+
+
+def compact_seen_buckets(catalog, n_buckets: int | None = None) -> int:
     """Rewrite ``dedup_seen_buckets`` as one summed row per (band_id,
     bucket).
 
@@ -336,16 +451,43 @@ def compact_seen_buckets(catalog) -> int:
     ``overwrite`` is already one atomic snapshot swap (createOrReplace),
     so the live name is rewritten directly.
 
+    ``n_buckets`` (parquet leg) selects the BUCKETED layout: the compacted
+    generation lands as an EXTERNAL table under ``catalog.base`` (a fresh
+    session re-attaches the definition from the manifest — state never
+    depends on session-scoped catalog metadata), bucketed AND sorted on
+    (band_id, bucket) — the probe's join key — with one file per bucket, and the
+    ``seen_compact`` manifest (table name, generation, ``through`` batch
+    watermark) moves in the same atomic os.replace commit.  Why this is the
+    at-scale layout: the compacted generation is the piece of state that
+    grows with corpus history, and every micro-batch joins against it;
+    stored pre-aggregated + pre-hashed + pre-sorted, that join needs no
+    exchange, no sort, and no groupBy on the unbounded side — the probe's
+    per-batch cost over history collapses to a columnar scan (see
+    ``seen_positions``).  The consumed flat tail is then dropped (readers
+    exclude it by the ``through`` watermark either way, so a crash between
+    the manifest commit and the cleanup loses nothing).  The layout is
+    sticky: later calls without ``n_buckets`` reuse the recorded bucket
+    count, so a flat rewrite can never double-count the compacted
+    generation.  On the Iceberg leg the same physical property is declared
+    instead of hand-built — a ``bucket(N, ...)`` partition transform plus
+    storage-partitioned joins — so ``n_buckets`` is ignored there.
+
     Returns the distinct bucket count after compaction.
     """
     m = catalog.read_manifest("stream_curate")
     last = m.get("last_batch_id", -1) if m else -1
-    if last < 0 or not catalog.exists("dedup_seen_buckets"):
+    if last < 0:
         return 0
+    cm = catalog.read_manifest("seen_compact")
+    if n_buckets is None and cm:
+        n_buckets = cm["n_buckets"]  # sticky layout
+    comp, tail, _ = _seen_components(catalog, last)
+    parts = [p for p in (comp, tail) if p is not None]
+    if not parts:
+        return 0
+    seen = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
     seen = (
-        catalog.read("dedup_seen_buckets")
-        .where(F.col("batch_id") <= last)
-        .groupBy("band_id", "bucket")
+        seen.groupBy("band_id", "bucket")
         .agg(F.sum("n_members").alias("n_members"))
         .withColumn("batch_id", F.lit(last))
     )
@@ -354,21 +496,45 @@ def compact_seen_buckets(catalog) -> int:
         # prior snapshot as input — no pointer dance needed
         catalog.overwrite(seen, "dedup_seen_buckets")
         return catalog.read("dedup_seen_buckets").count()
-    ptr = catalog.read_manifest("ptr_dedup_seen_buckets")
-    gen = (ptr.get("gen", 0) if ptr else 0) + 1
-    version = f"dedup_seen_buckets__g{gen}"
-    # 1. materialize the compacted set under the version name (reads the
-    #    CURRENT physical table; overwrite mode makes retries idempotent)
-    catalog.overwrite(seen, version)
-    # 2. the commit: one atomic manifest replace moves the live name
-    prev = catalog.resolve("dedup_seen_buckets")
-    catalog.write_manifest(
-        "ptr_dedup_seen_buckets", {"physical": version, "gen": gen}
+    if n_buckets is None:
+        _swap_seen(catalog, seen)
+        return catalog.read("dedup_seen_buckets").count()
+    import hashlib
+    import os
+
+    from mysql_cdc_rs_spark.operators.bucketing import write_bucketed
+
+    gen = (cm.get("gen", 0) if cm else 0) + 1
+    tag = hashlib.md5(os.path.abspath(catalog.base).encode()).hexdigest()[:8]
+    table = f"dedup_seen_compact_{tag}_g{gen}"
+    # 1. materialize the new generation as an EXTERNAL bucketed table whose
+    #    files live under catalog.base (state outlives the session; the
+    #    catalog entry is re-attached on demand by _ensure_compact_table).
+    #    repartition on the bucket columns uses the same hash as bucketBy,
+    #    so each task owns exactly one bucket -> ONE file per bucket; a
+    #    crash here leaves an orphan table the retry overwrites.
+    write_bucketed(
+        seen.drop("batch_id").repartition(n_buckets, "band_id", "bucket"),
+        table,
+        ["band_id", "bucket"],
+        n_buckets,
+        sort_cols=["band_id", "bucket"],
+        path=os.path.join(os.path.abspath(catalog.base), table),
     )
-    # 3. post-commit cleanup (best-effort; an orphan dir is the worst case)
-    if prev != version:
-        catalog.drop_physical(prev)
-    return catalog.read("dedup_seen_buckets").count()
+    # 2. the commit: one atomic manifest replace
+    catalog.write_manifest(
+        "seen_compact",
+        {"table": table, "gen": gen, "through": last, "n_buckets": n_buckets},
+    )
+    # 3. post-commit cleanup — both targets are already invisible to
+    #    readers (the probe takes tail rows with batch_id > through only),
+    #    so a crash anywhere below leaves orphans, never wrong answers
+    if cm:
+        catalog.spark.sql(f"DROP TABLE IF EXISTS {cm['table']}")
+        catalog.drop_physical(cm["table"])
+    if catalog.exists("dedup_seen_buckets"):
+        catalog.drop_physical(catalog.resolve("dedup_seen_buckets"))
+    return catalog.spark.table(table).count()
 
 
 def read_curated(catalog) -> DataFrame:

@@ -32,6 +32,11 @@ N_TOTAL = int(sys.argv[1]) if len(sys.argv) > 1 else 1_600_000
 N_CHUNKS = int(sys.argv[2]) if len(sys.argv) > 2 else 16
 CHUNK = N_TOTAL // N_CHUNKS
 WORK = f"/tmp/spark_graft_stream_soak_{N_TOTAL}"
+# SOAK_N_BUCKETS=<n> runs the mid-run compaction in the BUCKETED layout
+# (external pre-aggregated table bucketed on the probe key)
+N_BUCKETS = (
+    int(os.environ["SOAK_N_BUCKETS"]) if "SOAK_N_BUCKETS" in os.environ else None
+)
 
 
 def chunk_df(spark, start: int, end: int, seed: int = 42):
@@ -136,15 +141,20 @@ def main() -> None:
     seen_before = cat.read("dedup_seen_buckets").count()
     mb_before = du_mb(os.path.join(cur, cat.resolve("dedup_seen_buckets")))
     t0 = time.monotonic()
-    seen_after = compact_seen_buckets(cat)
+    seen_after = compact_seen_buckets(cat, n_buckets=N_BUCKETS)
     c_sec = time.monotonic() - t0
-    mb_after = du_mb(os.path.join(cur, cat.resolve("dedup_seen_buckets")))
+    if N_BUCKETS:
+        state_dir = os.path.join(cur, cat.read_manifest("seen_compact")["table"])
+    else:
+        state_dir = os.path.join(cur, cat.resolve("dedup_seen_buckets"))
+    mb_after = du_mb(state_dir)
     out["compaction"] = {
         "rows_before": seen_before,
         "rows_after": seen_after,
         "mb_before": mb_before,
         "mb_after": mb_after,
         "sec": round(c_sec, 3),
+        "n_buckets": N_BUCKETS,
     }
 
     # --- 4. phase B: second half across the restart ------------------------

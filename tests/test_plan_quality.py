@@ -268,6 +268,73 @@ def test_ivf_cell_partition_pruning(spark, tmp_path):
     assert probe.count() == want > 0
 
 
+def test_seen_probe_bucketed_state_no_exchange(spark, tmp_path):
+    """Round-5 layout invariant: with the bucketed compacted seen-state,
+    the streaming probe consumes the state AS STORED — pre-aggregated (no
+    per-batch groupBy over the unbounded side) and pre-hashed on the join
+    key (no per-batch Exchange of the state).  The flat layout pays both
+    per micro-batch; at 10^12 docs the state-side shuffle is the dominant
+    streaming cost, so its absence is pinned here: the bucketed probe plan
+    must engage the bucketed scan and carry strictly fewer exchanges than
+    the flat probe over the identical state, with ZERO exchanges above the
+    compacted-state scan (exactly one hashpartitioning exchange on the
+    probe key — the incoming batch side)."""
+    from pyspark.sql import functions as F
+
+    from mysql_cdc_rs_spark.operators import dedup as DD
+    from mysql_cdc_rs_spark.sources.catalog import SinkCatalog
+    from mysql_cdc_rs_spark.sources.testdata import load
+    from mysql_cdc_rs_spark.streaming.stream_pipeline import (
+        compact_seen_buckets,
+        seen_positions,
+    )
+
+    docs = load(spark, SF, "documents").selectExpr(
+        "doc_id", "lower(coalesce(text, '')) as text"
+    )
+    banded = DD.banded_buckets(docs.limit(200))
+    state = DD.banded_buckets(docs).groupBy("band_id", "bucket").agg(
+        F.count("*").alias("n_members")
+    ).withColumn("batch_id", F.lit(0))
+
+    plans = {}
+    for layout in ("flat", "bucketed"):
+        cat = SinkCatalog(spark, str(tmp_path / layout))
+        cat.append(state, "dedup_seen_buckets")
+        cat.write_manifest("stream_curate", {"last_batch_id": 0})
+        if layout == "bucketed":
+            compact_seen_buckets(cat, n_buckets=8)
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plans[layout] = _formatted(spark, seen_positions(banded, cat, 0))
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+    assert "SelectedBucketsCount: 8 out of 8" in plans["bucketed"]
+
+    def probe_key_exchanges(plan: str) -> int:
+        # Exchange details print as "Arguments: hashpartitioning(band_id..."
+        return sum(
+            1
+            for ln in plan.splitlines()
+            if "hashpartitioning(band_id" in ln and "Arguments" in ln
+        )
+
+    # flat: batch-side exchange + the per-batch state re-aggregation
+    # exchange; bucketed: the batch side ONLY — the state side has none
+    assert probe_key_exchanges(plans["flat"]) == 2
+    assert probe_key_exchanges(plans["bucketed"]) == 1
+    # and the state arrives pre-aggregated: no extra HashAggregate pair
+    assert plans["bucketed"].count("HashAggregate") < plans["flat"].count(
+        "HashAggregate"
+    )
+    m = SinkCatalog(spark, str(tmp_path / "bucketed")).read_manifest(
+        "seen_compact"
+    )
+    spark.sql(f"DROP TABLE IF EXISTS {m['table']}")
+
+
 def test_verify_jaccard_candidates_no_broadcast(spark):
     """Round-5 OOM fix pinned: in candidates mode every ngram-Jaccard join
     input scales with the corpus (pairs with dup mass, shingles with

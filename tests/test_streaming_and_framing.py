@@ -668,6 +668,97 @@ def test_compact_seen_buckets_crash_safe(spark):
         assert 50 not in got and 51 in got
 
 
+def test_streaming_curation_bucketed_state_matches_batch(spark):
+    """Bucketed compacted-state layout (round 5): compaction with
+    ``n_buckets=`` rewrites the seen-bucket state as an external
+    pre-aggregated table bucketed on the probe key.  The contract under
+    test: (a) the stream still reproduces batch ``curate()`` EXACTLY across
+    a bucketed compaction; (b) state survives catalog-metadata loss (the
+    probe re-attaches the external table from the manifest — the
+    session-restart case); (c) a second compaction is sticky (reuses the
+    recorded bucket count), bumps the generation, and cleans up the old
+    generation and the consumed flat tail; (d) a crash before the manifest
+    commit leaves the probe on the old state and the retry is idempotent."""
+    from mysql_cdc_rs_spark.plans.training_pipeline import curate, release
+    from mysql_cdc_rs_spark.sources.catalog import SinkCatalog
+    from mysql_cdc_rs_spark.streaming.stream_pipeline import (
+        compact_seen_buckets,
+        read_curated,
+        start_curation_stream,
+        stream_pages,
+    )
+
+    n = 1600
+    full = pages_df(spark, n, seed=42)
+    docid = F.regexp_extract("url", r"/(\d+)$", 1).cast("long")
+    with tempfile.TemporaryDirectory() as tmp:
+        src = f"{tmp}/pages"
+        ckpt = f"{tmp}/ckpt"
+        cat = SinkCatalog(spark, f"{tmp}/cur")
+
+        full.filter(docid < 800).coalesce(1).write.mode("append").parquet(src)
+        q = start_curation_stream(stream_pages(spark, src), cat, ckpt)
+        q.awaitTermination()
+
+        # (d) crash BEFORE the manifest commit: probe state unchanged
+        real_write = cat.write_manifest
+
+        def crashing_write(name, payload):
+            if name == "seen_compact":
+                raise RuntimeError("simulated crash before compact commit")
+            real_write(name, payload)
+
+        cat.write_manifest = crashing_write
+        with pytest.raises(RuntimeError):
+            compact_seen_buckets(cat, n_buckets=16)
+        cat.write_manifest = real_write
+        assert cat.read_manifest("seen_compact") is None
+        assert cat.exists("dedup_seen_buckets")  # flat tail still live
+
+        # retry completes (same generation name, overwrite is idempotent)
+        n_buckets_state = compact_seen_buckets(cat, n_buckets=16)
+        m = cat.read_manifest("seen_compact")
+        assert m["gen"] == 1 and m["n_buckets"] == 16
+        assert n_buckets_state > 0
+        # the consumed flat tail is gone; the state lives in the external
+        # table under the catalog base, not the session warehouse
+        assert not cat.exists("dedup_seen_buckets")
+        assert os.path.isdir(os.path.join(f"{tmp}/cur", m["table"]))
+
+        # (b) catalog-metadata loss: drop the session table entry (files
+        # are external and survive); the next probe must self-heal
+        spark.sql(f"DROP TABLE {m['table']}")
+        assert not spark.catalog.tableExists(m["table"])
+
+        full.filter(docid >= 800).coalesce(1).write.mode("append").parquet(src)
+        q2 = start_curation_stream(stream_pages(spark, src), cat, ckpt)
+        q2.awaitTermination()
+
+        # (a) exact batch equality across the bucketed compaction
+        got = {r["doc_id"] for r in read_curated(cat).select("doc_id").collect()}
+        surv = curate(full)
+        want = {r["doc_id"] for r in surv.select("doc_id").collect()}
+        release(surv)
+        assert got == want
+
+        # (c) sticky second compaction: no n_buckets arg, gen bump, cleanup
+        old_table = m["table"]
+        compact_seen_buckets(cat)
+        m2 = cat.read_manifest("seen_compact")
+        assert m2["gen"] == 2 and m2["n_buckets"] == 16
+        assert m2["table"] != old_table
+        assert not spark.catalog.tableExists(old_table)
+        assert not os.path.isdir(os.path.join(f"{tmp}/cur", old_table))
+        # dedup behavior against gen-2 state: a replay of the full corpus
+        # as a late batch drops everything (every doc's buckets are seen)
+        full.coalesce(1).write.mode("append").parquet(src)
+        q3 = start_curation_stream(stream_pages(spark, src), cat, ckpt)
+        q3.awaitTermination()
+        again = {r["doc_id"] for r in read_curated(cat).select("doc_id").collect()}
+        assert again == want
+        spark.sql(f"DROP TABLE IF EXISTS {m2['table']}")
+
+
 def test_streaming_curation_out_of_order_arrival(spark):
     """Round-5 pin of the documented divergence: when micro-batches arrive
     OUT of doc_id order, the stream keeps the FIRST-ARRIVED member of each
