@@ -553,8 +553,12 @@ def _write_bench_md(r: dict) -> None:
     for k, v in sorted(r["queries"].items()):
         lines.append(f"| {k} | {v} | {qload.get(k, '—')} |")
     lines.append("")
-    with open(f"{REPO}/BENCH/BASELINE.md", "w") as f:
-        f.write("\n".join(lines))
+    # smoke runs (SPARK_GRAFT_BENCH_N under the standard corpus) print
+    # their JSON but must not overwrite the committed baseline record —
+    # their throughput numbers are scheduling-overhead-dominated by design
+    if N_PAGES >= 200_000:
+        with open(f"{REPO}/BENCH/BASELINE.md", "w") as f:
+            f.write("\n".join(lines))
 
 
 if __name__ == "__main__":

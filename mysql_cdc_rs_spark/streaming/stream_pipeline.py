@@ -381,9 +381,17 @@ def seen_positions(banded: DataFrame, catalog, last: int) -> DataFrame:
     """
     from pyspark.sql import Window
 
+    comp, tail, _ = _seen_components(catalog, last)
+    if comp is not None:
+        # pre-partition the batch side to the state's bucket count so the
+        # rank window and the probe join share ONE exchange: the window
+        # needs (band_id, bucket) clustering anyway, and matching the
+        # compacted table's partitioning count lets the SMJ reuse it
+        # instead of inserting a second batch-side shuffle
+        m = catalog.read_manifest("seen_compact")
+        banded = banded.repartition(m["n_buckets"], "band_id", "bucket")
     w = Window.partitionBy("band_id", "bucket").orderBy("doc_id")
     ranked = banded.withColumn("r", F.row_number().over(w))
-    comp, tail, _ = _seen_components(catalog, last)
     zero = F.lit(0).cast("long")
     if comp is not None:
         ranked = ranked.join(

@@ -292,7 +292,10 @@ def test_seen_probe_bucketed_state_no_exchange(spark, tmp_path):
     docs = load(spark, SF, "documents").selectExpr(
         "doc_id", "lower(coalesce(text, '')) as text"
     )
-    banded = DD.banded_buckets(docs.limit(200))
+    # multi-partition batch side: the realistic case where the rank window
+    # needs clustering too — bucketed mode pre-partitions ONCE to the
+    # state's bucket count and the window + join share that exchange
+    banded = DD.banded_buckets(docs.limit(200).repartition(4))
     state = DD.banded_buckets(docs).groupBy("band_id", "bucket").agg(
         F.count("*").alias("n_members")
     ).withColumn("batch_id", F.lit(0))
