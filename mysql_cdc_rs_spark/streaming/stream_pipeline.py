@@ -15,6 +15,16 @@ checkpointing.  Spark restatement:
 - watermark + windowed counts = heartbeat/liveness metrics (A9);
 - custom stateful operator via ``applyInPandasWithState`` = the reference's
   per-key decoder context (TableMap cache) held in managed state.
+
+Parallelism note: file-arrival (and few-partition Kafka) sources deliver
+micro-batches with fewer partitions than cores — one arriving file is ONE
+partition — which silently caps every narrow per-batch transformation at
+that parallelism.  The foreachBatch sinks here fan the batch out to
+``defaultParallelism`` before decoding (conditional: an already-parallel
+source is never coalesced).  The windowed/stateful aggregation streams
+shuffle at their groupBy anyway; if their upstream decode becomes the
+bottleneck on an under-partitioned source, repartition the source stream
+once at ingest (``stream_df.repartition(n)``) rather than per operator.
 """
 
 from __future__ import annotations
@@ -153,6 +163,12 @@ def start_routing_stream(
     sources (rate / Kafka) to run continuously."""
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # one arriving file = one partition: fan out so the decode UDF
+        # uses the cluster, not one core (same defect class as the
+        # curation stream — see start_curation_stream.write_batch)
+        n_target = batch_df.sparkSession.sparkContext.defaultParallelism
+        if batch_df.rdd.getNumPartitions() < n_target:
+            batch_df = batch_df.repartition(n_target)
         routed = route_table(enrich(decode_pages(batch_df)))
         routed.write.mode("append").partitionBy("route").parquet(
             f"{sink_dir}/routed"
