@@ -151,6 +151,22 @@ def stream_pages_kafka(
     )
 
 
+def _fan_out(batch_df: DataFrame) -> DataFrame:
+    """Fan a foreachBatch micro-batch out to cluster parallelism.
+
+    A file/Kafka source often delivers fewer partitions than cores — one
+    arriving file is ONE partition — which silently caps every narrow
+    per-batch transformation (decode, minhash) at source parallelism;
+    profiled at 3.5x the whole batch's cost.  Conditional: an
+    already-parallel source is never coalesced.  Every foreachBatch sink
+    in this module routes its batch through here first.
+    """
+    n_target = batch_df.sparkSession.sparkContext.defaultParallelism
+    if batch_df.rdd.getNumPartitions() < n_target:
+        return batch_df.repartition(n_target)
+    return batch_df
+
+
 def start_routing_stream(
     stream_df: DataFrame,
     sink_dir: str,
@@ -163,13 +179,7 @@ def start_routing_stream(
     sources (rate / Kafka) to run continuously."""
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        # one arriving file = one partition: fan out so the decode UDF
-        # uses the cluster, not one core (same defect class as the
-        # curation stream — see start_curation_stream.write_batch)
-        n_target = batch_df.sparkSession.sparkContext.defaultParallelism
-        if batch_df.rdd.getNumPartitions() < n_target:
-            batch_df = batch_df.repartition(n_target)
-        routed = route_table(enrich(decode_pages(batch_df)))
+        routed = route_table(enrich(decode_pages(_fan_out(batch_df))))
         routed.write.mode("append").partitionBy("route").parquet(
             f"{sink_dir}/routed"
         )
@@ -273,16 +283,7 @@ def start_curation_stream(
         last = m.get("last_batch_id", -1) if m else -1
         if batch_id <= last:
             return  # replayed after restart: this batch is fully applied
-        # fan the micro-batch out to cluster parallelism: a file/Kafka
-        # source often delivers fewer partitions than cores (one arriving
-        # file = ONE partition), which would run decode + minhash on a
-        # single core while the rest idle — profiled at 3.5x the whole
-        # batch's cost.  Never coalesce an already-parallel source.
-        spark = batch_df.sparkSession
-        n_target = spark.sparkContext.defaultParallelism
-        if batch_df.rdd.getNumPartitions() < n_target:
-            batch_df = batch_df.repartition(n_target)
-        decoded = decode_pages(batch_df)
+        decoded = decode_pages(_fan_out(batch_df))
         doc_id = F.regexp_extract("url", r"/(\d+)$", 1).cast("long")
         textful = decoded.filter(
             F.col("event_type").isin("html", "plain")
@@ -337,9 +338,9 @@ def _ensure_compact_table(catalog, m: dict) -> None:
     if spark.catalog.tableExists(table):
         return
     loc = os.path.join(os.path.abspath(catalog.base), table)
+    cols = m.get("columns", "band_id INT, bucket STRING, n_members BIGINT")
     spark.sql(
-        f"CREATE TABLE {table} "
-        "(band_id INT, bucket STRING, n_members BIGINT) "
+        f"CREATE TABLE {table} ({cols}) "
         "USING parquet CLUSTERED BY (band_id, bucket) "
         f"SORTED BY (band_id, bucket) INTO {m['n_buckets']} BUCKETS "
         f"LOCATION '{loc}'"
@@ -365,6 +366,9 @@ def _seen_components(catalog, last: int):
     Both pieces carry the same schema, and summing them per bucket is
     exactly the probe's prior count — the invariant every consumer
     (the per-batch probe, both compaction flavors) is built on.
+
+    Returns ``(compacted, tail, through, manifest)`` — the ``seen_compact``
+    manifest dict (or None) rides along so callers don't re-stat it.
     """
     comp, through = None, -1
     m = catalog.read_manifest("seen_compact")
@@ -381,10 +385,25 @@ def _seen_components(catalog, last: int):
             .where(
                 (F.col("batch_id") > through) & (F.col("batch_id") <= last)
             )  # exclude compacted-away history AND torn tails
+            # replay safety: a crash between a batch's SEEN append and its
+            # manifest commit makes the deterministic replay append the
+            # SAME (band_id, bucket, n_members, batch_id) rows again.
+            # collect_set collapses the identical copies (same batch ->
+            # identical struct; different batches -> distinct batch_id), a
+            # fold sums the survivors — one aggregate, one exchange, no
+            # double-count lifting later members past the drop window (the
+            # read_curated dropDuplicates rule, applied to the state
+            # table).  Set size is bounded by batches since compaction.
             .groupBy("band_id", "bucket")
-            .agg(F.sum("n_members").alias("n_members"))
+            .agg(
+                F.aggregate(
+                    F.collect_set(F.struct("batch_id", "n_members")),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x["n_members"],
+                ).alias("n_members")
+            )
         )
-    return comp, tail, through
+    return comp, tail, through, m
 
 
 def seen_positions(banded: DataFrame, catalog, last: int) -> DataFrame:
@@ -406,14 +425,15 @@ def seen_positions(banded: DataFrame, catalog, last: int) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    comp, tail, _ = _seen_components(catalog, last)
+    comp, tail, _, m = _seen_components(catalog, last)
     if comp is not None:
         # pre-partition the batch side to the state's bucket count so the
         # rank window and the probe join share ONE exchange: the window
         # needs (band_id, bucket) clustering anyway, and matching the
         # compacted table's partitioning count lets the SMJ reuse it
-        # instead of inserting a second batch-side shuffle
-        m = catalog.read_manifest("seen_compact")
+        # instead of inserting a second batch-side shuffle.  NOTE this
+        # makes n_buckets the probe stage's task count — size it at least
+        # to the cluster's parallelism (see compact_seen_buckets).
         banded = banded.repartition(m["n_buckets"], "band_id", "bucket")
     w = Window.partitionBy("band_id", "bucket").orderBy("doc_id")
     ranked = banded.withColumn("r", F.row_number().over(w))
@@ -442,20 +462,22 @@ def seen_positions(banded: DataFrame, catalog, last: int) -> DataFrame:
 def _swap_seen(catalog, df: DataFrame) -> None:
     """Replace the flat ``dedup_seen_buckets`` table with ``df`` behind the
     versioned-name + atomic-pointer-flip protocol (crash on either side of
-    the flip leaves a readable, correct table)."""
-    ptr = catalog.read_manifest("ptr_dedup_seen_buckets")
-    gen = (ptr.get("gen", 0) if ptr else 0) + 1
-    version = f"dedup_seen_buckets__g{gen}"
+    the flip leaves a readable, correct table).  The generation counter is
+    parsed from the current physical name, so the pointer manifest needs
+    no extra fields and ``catalog.flip_pointer`` stays the one flip API.
+    """
+    import re
+
+    prev = catalog.resolve("dedup_seen_buckets")
+    g = re.search(r"__g(\d+)$", prev)
+    version = f"dedup_seen_buckets__g{(int(g.group(1)) if g else 0) + 1}"
     # 1. materialize under the version name (overwrite: retries idempotent)
     catalog.overwrite(df, version)
     # 2. the commit: one atomic manifest replace moves the live name
-    prev = catalog.resolve("dedup_seen_buckets")
-    catalog.write_manifest(
-        "ptr_dedup_seen_buckets", {"physical": version, "gen": gen}
-    )
+    old = catalog.flip_pointer("dedup_seen_buckets", version)
     # 3. post-commit cleanup (best-effort; an orphan dir is the worst case)
-    if prev != version:
-        catalog.drop_physical(prev)
+    if old:
+        catalog.drop_physical(old)
 
 
 def compact_seen_buckets(catalog, n_buckets: int | None = None) -> int:
@@ -505,16 +527,23 @@ def compact_seen_buckets(catalog, n_buckets: int | None = None) -> int:
     instead of hand-built — a ``bucket(N, ...)`` partition transform plus
     storage-partitioned joins — so ``n_buckets`` is ignored there.
 
+    Sizing ``n_buckets``: it becomes the probe stage's task count (the
+    batch side repartitions to it so the rank window and join share one
+    exchange), so set it to AT LEAST the cluster's total cores — and high
+    enough that one bucket's state slice stays comfortably in an
+    executor's memory (distinct_buckets / n_buckets rows per task).
+    Too-low n_buckets silently caps probe parallelism the same way an
+    under-partitioned source caps decode (see ``_fan_out``).
+
     Returns the distinct bucket count after compaction.
     """
     m = catalog.read_manifest("stream_curate")
     last = m.get("last_batch_id", -1) if m else -1
     if last < 0:
         return 0
-    cm = catalog.read_manifest("seen_compact")
+    comp, tail, _, cm = _seen_components(catalog, last)
     if n_buckets is None and cm:
         n_buckets = cm["n_buckets"]  # sticky layout
-    comp, tail, _ = _seen_components(catalog, last)
     parts = [p for p in (comp, tail) if p is not None]
     if not parts:
         return 0
@@ -540,6 +569,7 @@ def compact_seen_buckets(catalog, n_buckets: int | None = None) -> int:
     gen = (cm.get("gen", 0) if cm else 0) + 1
     tag = hashlib.md5(os.path.abspath(catalog.base).encode()).hexdigest()[:8]
     table = f"dedup_seen_compact_{tag}_g{gen}"
+    body = seen.drop("batch_id")
     # 1. materialize the new generation as an EXTERNAL bucketed table whose
     #    files live under catalog.base (state outlives the session; the
     #    catalog entry is re-attached on demand by _ensure_compact_table).
@@ -547,17 +577,29 @@ def compact_seen_buckets(catalog, n_buckets: int | None = None) -> int:
     #    so each task owns exactly one bucket -> ONE file per bucket; a
     #    crash here leaves an orphan table the retry overwrites.
     write_bucketed(
-        seen.drop("batch_id").repartition(n_buckets, "band_id", "bucket"),
+        body.repartition(n_buckets, "band_id", "bucket"),
         table,
         ["band_id", "bucket"],
         n_buckets,
         sort_cols=["band_id", "bucket"],
         path=os.path.join(os.path.abspath(catalog.base), table),
     )
-    # 2. the commit: one atomic manifest replace
+    # 2. the commit: one atomic manifest replace.  The column DDL rides in
+    #    the manifest so a fresh session re-attaches the table with the
+    #    schema the files were WRITTEN with, not a hardcoded snapshot.
+    columns = ", ".join(
+        f"{f.name} {f.dataType.simpleString().upper()}"
+        for f in body.schema.fields
+    )
     catalog.write_manifest(
         "seen_compact",
-        {"table": table, "gen": gen, "through": last, "n_buckets": n_buckets},
+        {
+            "table": table,
+            "gen": gen,
+            "through": last,
+            "n_buckets": n_buckets,
+            "columns": columns,
+        },
     )
     # 3. post-commit cleanup — both targets are already invisible to
     #    readers (the probe takes tail rows with batch_id > through only),

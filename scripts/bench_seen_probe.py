@@ -65,25 +65,30 @@ def main() -> None:
         "sizes": {},
     }
 
-    # one micro-batch's banded rows: BATCH_DOCS docs x BANDS bands, bucket
-    # ids drawn from the same keyspace as the state so joins actually match
-    batch = spark.range(BATCH_DOCS * BANDS).selectExpr(
-        "cast(id % {d} as long) as doc_id".format(d=BATCH_DOCS),
-        "cast(id % {b} as int) as band_id".format(b=BANDS),
-        "md5(cast((id * 37) % {s} as string)) as bucket".format(s=max(SIZES)),
-    )
-
     cap = DD.MAX_BUCKET
     pos = F.col("p") + F.col("r")
 
     for S in SIZES:
         shutil.rmtree(WORK, ignore_errors=True)
-        # synthetic cumulative state: S distinct (band_id, bucket) rows
+        # synthetic cumulative state: S distinct (band_id, bucket) rows;
+        # state row v lives in band v % BANDS with bucket md5(v)
         state = spark.range(S).selectExpr(
             "cast(id % {b} as int) as band_id".format(b=BANDS),
             "md5(cast(id as string)) as bucket",
             "cast(1 + id % 7 as long) as n_members",
             "cast(0 as long) as batch_id",
+        )
+        # one micro-batch's banded rows: each doc gets exactly ONE row per
+        # band, and its bucket is constructed to EXIST in the state with a
+        # matching band (v ≡ band (mod BANDS), v < S) — match density is
+        # 1.0 and constant across S, the probe's worst case, so the
+        # flat-vs-bucketed curve measures history cost, not join
+        # selectivity drift
+        batch = spark.range(BATCH_DOCS * BANDS).selectExpr(
+            "cast(id div {B} as long) as doc_id".format(B=BANDS),
+            "cast(id % {B} as int) as band_id".format(B=BANDS),
+            "md5(cast(((id div {B}) * 2654435761 % {SB}) * {B} + id % {B} "
+            "as string)) as bucket".format(B=BANDS, SB=S // BANDS),
         )
         res: dict = {}
         for layout in ("flat", "bucketed"):

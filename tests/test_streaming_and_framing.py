@@ -759,6 +759,88 @@ def test_streaming_curation_bucketed_state_matches_batch(spark):
         spark.sql(f"DROP TABLE IF EXISTS {m2['table']}")
 
 
+def test_streaming_curation_seen_replay_not_double_counted(spark):
+    """Crash between a batch's SEEN append and its manifest commit: the
+    restarted stream REPLAYS the batch and appends identical state rows a
+    second time.  The probe must collapse the duplicates (per-batch max
+    before the cross-batch sum) — otherwise every bucket of the torn batch
+    double-counts and later members are wrongly lifted past the drop
+    window.  Detection uses the cap boundary: 511 identical docs in the
+    torn batch put the next two arrivals at positions 512 (drop, == cap)
+    and 513 (keep, > cap); a double-counted prior (1022) would KEEP both."""
+    from mysql_cdc_rs_spark.operators.dedup import MAX_BUCKET
+    from mysql_cdc_rs_spark.sources.catalog import SinkCatalog
+    from mysql_cdc_rs_spark.streaming.stream_pipeline import (
+        read_curated,
+        start_curation_stream,
+        stream_pages,
+    )
+
+    text = (
+        "identical boilerplate page body repeated for every doc in the "
+        "torn batch so all of them share one bucket per band " * 3
+    )
+
+    def page(i):
+        body = f"<html><body>{text}</body></html>".encode()
+        raw = (
+            f"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n"
+            f"Content-Length: {len(body)}\r\n\r\n"
+        ).encode() + body
+        return (f"https://ex.com/d/{i}", None, raw, None, "en")
+
+    ddl = "url string, warc_ts timestamp, html binary, text string, lang string"
+    with tempfile.TemporaryDirectory() as tmp:
+        src = f"{tmp}/pages"
+        ckpt = f"{tmp}/ckpt"
+        cat = SinkCatalog(spark, f"{tmp}/cur")
+
+        # torn batch: 511 members of one near-dup class (positions 1..511)
+        spark.createDataFrame(
+            [page(i) for i in range(MAX_BUCKET - 1)], ddl
+        ).coalesce(1).write.mode("append").parquet(src)
+
+        real_write = cat.write_manifest
+
+        def crashing_write(name, payload):
+            if name == "stream_curate":
+                raise RuntimeError("simulated crash before manifest commit")
+            real_write(name, payload)
+
+        cat.write_manifest = crashing_write
+        q = start_curation_stream(
+            stream_pages(spark, src), cat, ckpt, min_tokens=10
+        )
+        with pytest.raises(Exception):
+            q.awaitTermination()
+        cat.write_manifest = real_write
+        assert cat.read_manifest("stream_curate") is None  # commit torn
+        # the SEEN append landed, the manifest did not: restart replays the
+        # batch and appends the SAME state rows again
+        q = start_curation_stream(
+            stream_pages(spark, src), cat, ckpt, min_tokens=10
+        )
+        q.awaitTermination()
+        seen = cat.read("dedup_seen_buckets")
+        one_bucket = (
+            seen.groupBy("band_id", "bucket").count().where("count > 1")
+        )
+        assert one_bucket.count() > 0  # duplicates really are on disk
+
+        # next two arrivals of the same class: 512 drops (== cap), 513
+        # survives (> cap).  Doubled priors would keep BOTH.
+        spark.createDataFrame(
+            [page(600), page(601)], ddl
+        ).coalesce(1).write.mode("append").parquet(src)
+        q = start_curation_stream(
+            stream_pages(spark, src), cat, ckpt, min_tokens=10
+        )
+        q.awaitTermination()
+        got = {r["doc_id"] for r in read_curated(cat).select("doc_id").collect()}
+        assert 600 not in got  # position 512: still inside the drop window
+        assert 601 in got  # position 513: past the cap, survives
+
+
 def test_streaming_curation_out_of_order_arrival(spark):
     """Round-5 pin of the documented divergence: when micro-batches arrive
     OUT of doc_id order, the stream keeps the FIRST-ARRIVED member of each
