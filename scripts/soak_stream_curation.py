@@ -91,25 +91,39 @@ def main() -> None:
         shutil.rmtree(d, ignore_errors=True)
 
     # --- 1. chunked, doc_id-ordered input (UNTIMED prep) -------------------
-    if not os.path.isdir(src) or len(
-        [f for f in os.listdir(src) if f.endswith(".parquet")]
-    ) != N_CHUNKS:
-        shutil.rmtree(src, ignore_errors=True)
-        seen_files: set[str] = set()
-        base_ts = int(time.time())
-        for i in range(N_CHUNKS):
-            chunk_df(spark, i * CHUNK, (i + 1) * CHUNK).repartition(1).write.mode(
-                "append"
-            ).parquet(src)
-            # pin a strictly increasing mtime per chunk: FileStreamSource
-            # orders by (modification time, path), and doc_id-ordered feed
-            # is what makes the stream reproduce batch curate() exactly
-            new = {
-                f for f in os.listdir(src) if f.endswith(".parquet")
-            } - seen_files
-            for f in new:
-                os.utime(os.path.join(src, f), (base_ts + i, base_ts + i))
-            seen_files |= new
+    # Deterministic per-chunk filenames (chunk_0000.parquet ...) make the
+    # prep RESUMABLE: an interrupted run leaves complete chunks behind and
+    # only the missing ones are generated.  Legacy randomly-named part
+    # files (from the pre-resumable prep) are adopted by reading one row's
+    # url tail (https://host/p/seed/<i>) to recover which chunk they hold.
+    os.makedirs(src, exist_ok=True)
+    for f in list(os.listdir(src)):
+        if f.endswith(".parquet") and not f.startswith("chunk_"):
+            row = (
+                spark.read.parquet(os.path.join(src, f)).select("url").head()
+            )
+            i = int(row["url"].rsplit("/", 1)[1]) // CHUNK
+            os.rename(
+                os.path.join(src, f), os.path.join(src, f"chunk_{i:04d}.parquet")
+            )
+        elif not f.endswith(".parquet"):
+            os.remove(os.path.join(src, f))
+    base_ts = 1_700_000_000  # fixed: mtimes survive resumed preps
+    stage = f"{WORK}/stage"
+    for i in range(N_CHUNKS):
+        target = os.path.join(src, f"chunk_{i:04d}.parquet")
+        if not os.path.exists(target):
+            shutil.rmtree(stage, ignore_errors=True)
+            chunk_df(spark, i * CHUNK, (i + 1) * CHUNK).repartition(1).write.parquet(
+                stage
+            )
+            part = [f for f in os.listdir(stage) if f.endswith(".parquet")][0]
+            os.rename(os.path.join(stage, part), target)
+        # pin a strictly increasing mtime per chunk: FileStreamSource
+        # orders by (modification time, path), and doc_id-ordered feed
+        # is what makes the stream reproduce batch curate() exactly
+        os.utime(target, (base_ts + i, base_ts + i))
+    shutil.rmtree(stage, ignore_errors=True)
     cat = SinkCatalog(spark, cur)
 
     def drain() -> float:
