@@ -75,6 +75,15 @@ def build_session(
             .config("spark.speculation.multiplier", "4")
             .config("spark.speculation.quantile", "0.9")
         )
+    # Crash forensics (opt-in): when a Python worker dies mid-task the JVM
+    # only reports "worker exited unexpectedly"; the faulthandler makes the
+    # worker dump a Python traceback on hard death (segfault/abort) so the
+    # failing frame is attributable.  Off by default — it adds a signal
+    # handler + temp-file write per worker launch.
+    if os.environ.get("SPARK_GRAFT_FAULTHANDLER") == "1":
+        builder = builder.config(
+            "spark.python.worker.faulthandler.enabled", "true"
+        ).config("spark.sql.execution.pyspark.udf.faulthandler.enabled", "true")
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
