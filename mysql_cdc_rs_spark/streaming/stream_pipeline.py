@@ -229,6 +229,8 @@ def start_curation_stream(
     checkpoint_dir: str,
     min_tokens: int = 20,
     available_now: bool = True,
+    compact_every: int | None = None,
+    compact_n_buckets: int | None = None,
 ):
     """ONLINE training-data curation: decode -> quality gate -> incremental
     LSH near-dup drop, one micro-batch at a time — the streaming twin of
@@ -271,6 +273,24 @@ def start_curation_stream(
     skipped; a crash inside a batch can leave a partial append, which
     readers drop by filtering batch_id > last-completed (the relay-log
     torn-tail rule, segment.rs:137-140, restated for micro-batches).
+
+    ``compact_every=K`` runs ``compact_seen_buckets`` after every K
+    completed batches, INSIDE the stream's serial foreachBatch thread — the
+    "between batches" regime the compaction contract requires, with no
+    concurrent probe possible.  Why cadence and not a one-off: the probe
+    consumes the post-compaction tail with a per-batch aggregate, so tail
+    cost grows linearly in batches-since-compaction — the 12.8M soak with
+    ONE mid-run compaction spent most of its per-batch budget re-aggregating
+    a ~25M-row tail (BENCH/SOAK.md).  A cadence bounds the tail to K
+    batches' buckets, making per-batch probe cost independent of stream
+    lifetime; the compaction itself stays crash-safe (versioned table +
+    atomic pointer flip).  A crash DURING a cadence compaction loses no
+    state (the flip is atomic; pre-flip rows stay live) — the batch itself
+    was already manifest-committed, so on restart it replays as a skip and
+    the missed compaction is simply picked up at the next cadence point,
+    with the tail at most 2K batches deep in the interim.
+    ``compact_n_buckets`` selects the bucketed layout on the first
+    compaction (sticky thereafter); size it to at least cluster cores.
     """
     from mysql_cdc_rs_spark.functions.text import words_of
     from mysql_cdc_rs_spark.operators import dedup as DD
@@ -312,6 +332,8 @@ def start_curation_stream(
         quality.unpersist()
         banded.unpersist()
         catalog.write_manifest(MANIFEST, {"last_batch_id": batch_id})
+        if compact_every and (batch_id + 1) % compact_every == 0:
+            compact_seen_buckets(catalog, n_buckets=compact_n_buckets)
 
     writer = stream_df.writeStream.foreachBatch(write_batch).option(
         "checkpointLocation", checkpoint_dir

@@ -37,6 +37,14 @@ WORK = f"/tmp/spark_graft_stream_soak_{N_TOTAL}"
 N_BUCKETS = (
     int(os.environ["SOAK_N_BUCKETS"]) if "SOAK_N_BUCKETS" in os.environ else None
 )
+# SOAK_COMPACT_EVERY=<k> turns on IN-STREAM compaction cadence (compact
+# the seen state every k micro-batches inside the drain) — the fleet
+# regime; the mid-run compaction step then just picks up the remainder
+COMPACT_EVERY = (
+    int(os.environ["SOAK_COMPACT_EVERY"])
+    if "SOAK_COMPACT_EVERY" in os.environ
+    else None
+)
 
 
 def chunk_df(spark, start: int, end: int, seed: int = 42):
@@ -126,10 +134,16 @@ def main() -> None:
     shutil.rmtree(stage, ignore_errors=True)
     cat = SinkCatalog(spark, cur)
 
+    out["compact_every"] = COMPACT_EVERY
+
     def drain() -> float:
         t0 = time.monotonic()
         q = start_curation_stream(
-            stream_pages(spark, src, max_files_per_trigger=1), cat, ckpt
+            stream_pages(spark, src, max_files_per_trigger=1),
+            cat,
+            ckpt,
+            compact_every=COMPACT_EVERY,
+            compact_n_buckets=N_BUCKETS if COMPACT_EVERY else None,
         )
         q.awaitTermination()
         return time.monotonic() - t0
@@ -152,8 +166,13 @@ def main() -> None:
     }
 
     # --- 3. mid-run compaction ---------------------------------------------
-    seen_before = cat.read("dedup_seen_buckets").count()
-    mb_before = du_mb(os.path.join(cur, cat.resolve("dedup_seen_buckets")))
+    # (under a cadence the in-stream compactions may have consumed the
+    # whole flat tail already — then this just measures the no-op/remainder)
+    if cat.exists("dedup_seen_buckets"):
+        seen_before = cat.read("dedup_seen_buckets").count()
+        mb_before = du_mb(os.path.join(cur, cat.resolve("dedup_seen_buckets")))
+    else:
+        seen_before, mb_before = 0, 0.0
     t0 = time.monotonic()
     seen_after = compact_seen_buckets(cat, n_buckets=N_BUCKETS)
     c_sec = time.monotonic() - t0

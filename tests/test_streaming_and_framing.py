@@ -968,3 +968,79 @@ def test_streaming_curation_degenerate_bucket_cap_matches_batch(spark):
         want = {1} | set(range(MAX_BUCKET + 1, n + 1))  # 1 and 513..520
         assert batch_set == want
         assert stream_set == want
+
+
+def test_streaming_curation_compaction_cadence(spark):
+    """``compact_every=K`` (round 5, from the 12.8M soak): compaction runs
+    INSIDE the stream every K batches, bounding the flat tail the probe
+    must re-aggregate to K batches' buckets.  Contract: (a) survivor set
+    still EXACTLY matches batch ``curate()``; (b) the cadence actually
+    fired (generation == n_batches / K, watermark at the last batch);
+    (c) the final compaction consumed the whole flat tail; (d) a replayed
+    drain after the in-stream compactions stays a no-op."""
+    from mysql_cdc_rs_spark.plans.training_pipeline import curate, release
+    from mysql_cdc_rs_spark.sources.catalog import SinkCatalog
+    from mysql_cdc_rs_spark.streaming.stream_pipeline import (
+        read_curated,
+        start_curation_stream,
+        stream_pages,
+    )
+
+    n = 1600
+    full = pages_df(spark, n, seed=42)
+    docid = F.regexp_extract("url", r"/(\d+)$", 1).cast("long")
+    with tempfile.TemporaryDirectory() as tmp:
+        src = f"{tmp}/pages"
+        ckpt = f"{tmp}/ckpt"
+        cat = SinkCatalog(spark, f"{tmp}/cur")
+        os.makedirs(src)
+        # 4 doc_id-ordered chunk files with pinned mtimes -> 4 ordered
+        # micro-batches under maxFilesPerTrigger=1 in ONE drain
+        for i in range(4):
+            stage = f"{tmp}/stage"
+            full.filter(
+                (docid >= i * 400) & (docid < (i + 1) * 400)
+            ).coalesce(1).write.mode("overwrite").parquet(stage)
+            part = next(
+                f for f in os.listdir(stage) if f.endswith(".parquet")
+            )
+            target = os.path.join(src, f"chunk_{i:04d}.parquet")
+            os.rename(os.path.join(stage, part), target)
+            os.utime(target, (1_700_000_000 + i, 1_700_000_000 + i))
+
+        q = start_curation_stream(
+            stream_pages(spark, src, max_files_per_trigger=1),
+            cat,
+            ckpt,
+            compact_every=2,
+            compact_n_buckets=8,
+        )
+        q.awaitTermination()
+
+        # (b) cadence fired after batches 1 and 3: two generations
+        m = cat.read_manifest("seen_compact")
+        assert m is not None and m["gen"] == 2 and m["n_buckets"] == 8
+        assert m["through"] == 3
+        # (c) final compaction consumed the entire flat tail
+        assert not cat.exists("dedup_seen_buckets")
+
+        # (a) exact batch equality across two in-stream compactions
+        got = {r["doc_id"] for r in read_curated(cat).select("doc_id").collect()}
+        surv = curate(full)
+        want = {r["doc_id"] for r in surv.select("doc_id").collect()}
+        release(surv)
+        assert got == want
+
+        # (d) replayed drain: all batches skip, state untouched
+        q2 = start_curation_stream(
+            stream_pages(spark, src, max_files_per_trigger=1),
+            cat,
+            ckpt,
+            compact_every=2,
+            compact_n_buckets=8,
+        )
+        q2.awaitTermination()
+        again = {r["doc_id"] for r in read_curated(cat).select("doc_id").collect()}
+        assert again == want
+        assert cat.read_manifest("seen_compact")["gen"] == 2
+        spark.sql(f"DROP TABLE IF EXISTS {m['table']}")
