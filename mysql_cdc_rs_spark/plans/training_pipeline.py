@@ -87,6 +87,15 @@ def curate(
     quality = textful.filter(
         F.size(words_of(F.col("text"))) >= min_tokens
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    # Materialize the cache in its own job before both branches fan out
+    # over it.  The anti-join's first action otherwise runs the drops
+    # subtree and the survivors scan as CONCURRENT sibling stages racing
+    # to build the same cached partitions: the losing task parks on a
+    # block write lock the winner holds while feeding a Python decode
+    # worker — the runner stall captured in BENCH/hang/ (and the likely
+    # shape of the round-4 12.8M hang).  One extra count() job per
+    # curate() call; the decode work itself was owed either way.
+    quality.count()
 
     pairs = DD.lsh_candidate_pairs(quality)
     if verify_jaccard is not None:

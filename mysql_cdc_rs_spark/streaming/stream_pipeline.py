@@ -311,7 +311,18 @@ def start_curation_stream(
         quality = textful.filter(
             F.size(words_of(F.col("text"))) >= min_tokens
         ).persist()
+        # Materialize each persisted frame in its OWN job before anything
+        # fans out over it.  Without the barrier, the first append's job
+        # carries sibling stages that race to build the same cached
+        # partition; the loser parks on the block write lock that the
+        # winner holds WHILE feeding a Python worker — the exact stall
+        # captured in BENCH/hang/jstack_batch4_stall.txt (two stages, both
+        # task 11, one in ArrowStreamReader epoll holding the lock, one
+        # parked in BlockInfoManager.acquireLock).  Serialized builds keep
+        # Python-feeding stages free of cross-stage lock coupling.
+        quality.count()
         banded = DD.banded_buckets(quality).persist()
+        banded.count()
         pos = F.col("p") + F.col("r")
         drops = (
             seen_positions(banded, catalog, last)
