@@ -231,6 +231,8 @@ def start_curation_stream(
     available_now: bool = True,
     compact_every: int | None = None,
     compact_n_buckets: int | None = None,
+    compact_mode: str = "major",
+    compact_max_minors: int = 8,
 ):
     """ONLINE training-data curation: decode -> quality gate -> incremental
     LSH near-dup drop, one micro-batch at a time — the streaming twin of
@@ -291,6 +293,12 @@ def start_curation_stream(
     with the tail at most 2K batches deep in the interim.
     ``compact_n_buckets`` selects the bucketed layout on the first
     compaction (sticky thereafter); size it to at least cluster cores.
+    ``compact_mode="minor"`` makes each cadence point past the first a
+    tail-only delta fold — O(K batches) of work instead of a full
+    O(history) rewrite, which is what makes a tight cadence affordable at
+    fleet scale — auto-promoting to a major merge every
+    ``compact_max_minors`` deltas so the probe's generation-join count
+    stays bounded (see ``compact_seen_buckets``).
     """
     from mysql_cdc_rs_spark.functions.text import words_of
     from mysql_cdc_rs_spark.operators import dedup as DD
@@ -344,7 +352,12 @@ def start_curation_stream(
         banded.unpersist()
         catalog.write_manifest(MANIFEST, {"last_batch_id": batch_id})
         if compact_every and (batch_id + 1) % compact_every == 0:
-            compact_seen_buckets(catalog, n_buckets=compact_n_buckets)
+            compact_seen_buckets(
+                catalog,
+                n_buckets=compact_n_buckets,
+                mode=compact_mode,
+                max_minors=compact_max_minors,
+            )
 
     writer = stream_df.writeStream.foreachBatch(write_batch).option(
         "checkpointLocation", checkpoint_dir
@@ -354,8 +367,18 @@ def start_curation_stream(
     return writer.start()
 
 
-def _ensure_compact_table(catalog, m: dict) -> None:
-    """(Re)attach the external bucketed compacted-state table.
+def _gen_tables(m: dict | None) -> list[str]:
+    """All compacted-generation table names in a ``seen_compact`` manifest:
+    the base generation (``table``) followed by the minor deltas
+    (``minors``), oldest first.  Back-compatible: pre-LSM manifests carry
+    only ``table``."""
+    if not m:
+        return []
+    return ([m["table"]] if m.get("table") else []) + m.get("minors", [])
+
+
+def _ensure_compact_table(catalog, m: dict, table: str) -> None:
+    """(Re)attach one external bucketed compacted-state table.
 
     The table's FILES live under ``catalog.base`` (bucket membership is in
     the file names), but its catalog entry is session-scoped under Spark's
@@ -367,7 +390,7 @@ def _ensure_compact_table(catalog, m: dict) -> None:
     """
     import os
 
-    spark, table = catalog.spark, m["table"]
+    spark = catalog.spark
     if spark.catalog.tableExists(table):
         return
     loc = os.path.join(os.path.abspath(catalog.base), table)
@@ -381,14 +404,19 @@ def _ensure_compact_table(catalog, m: dict) -> None:
 
 
 def _seen_components(catalog, last: int):
-    """The two physical pieces of the seen-bucket state as of completed
-    batch ``last``: ``(compacted, tail, through)``.
+    """The physical pieces of the seen-bucket state as of completed batch
+    ``last``: ``(compacted_generations, tail, through, manifest)``.
 
-    ``compacted`` — the bucketed compacted generation (one PRE-AGGREGATED
-    row per (band_id, bucket), covering batches ``<= through``), or None if
-    no bucketed compaction has run.  It is a managed table bucketed+sorted
-    on the probe key, so consumers joining on (band_id, bucket) pay NO
-    exchange and NO sort on this — the unbounded — side.
+    ``compacted_generations`` — the LIST of bucketed compacted generations
+    (each one PRE-AGGREGATED rows per (band_id, bucket); together covering
+    batches ``<= through``), empty if no bucketed compaction has run.  The
+    list is the base generation plus any minor deltas (LSM levels): a MINOR
+    compaction folds only the flat tail into a new delta generation, so its
+    cost is O(tail), not O(history) — see ``compact_seen_buckets``.  Every
+    generation is a table bucketed+sorted on the probe key, so consumers
+    joining on (band_id, bucket) pay NO exchange and NO sort on these — the
+    unbounded — sides.  Generations cover DISJOINT batch ranges, so summing
+    per bucket across them is exact.
 
     ``tail`` — the flat append-only rows from batches in ``(through,
     last]``, aggregated to (band_id, bucket, n_members), or None when
@@ -396,21 +424,24 @@ def _seen_components(catalog, last: int):
     files wholesale (each micro-batch appended its own files), so the tail
     scan is proportional to data since the last compaction, not to history.
 
-    Both pieces carry the same schema, and summing them per bucket is
+    All pieces carry the same schema, and summing them per bucket is
     exactly the probe's prior count — the invariant every consumer
     (the per-batch probe, both compaction flavors) is built on.
 
-    Returns ``(compacted, tail, through, manifest)`` — the ``seen_compact``
-    manifest dict (or None) rides along so callers don't re-stat it.
+    The ``seen_compact`` manifest dict (or None) rides along so callers
+    don't re-stat it.
     """
-    comp, through = None, -1
+    comps, through = [], -1
     m = catalog.read_manifest("seen_compact")
     if m and m.get("through", -1) >= 0:
         through = m["through"]
-        _ensure_compact_table(catalog, m)
-        comp = catalog.spark.table(m["table"]).select(
-            "band_id", "bucket", "n_members"
-        )
+        for table in _gen_tables(m):
+            _ensure_compact_table(catalog, m, table)
+            comps.append(
+                catalog.spark.table(table).select(
+                    "band_id", "bucket", "n_members"
+                )
+            )
     tail = None
     if catalog.exists("dedup_seen_buckets"):
         tail = (
@@ -436,7 +467,7 @@ def _seen_components(catalog, last: int):
                 ).alias("n_members")
             )
         )
-    return comp, tail, through, m
+    return comps, tail, through, m
 
 
 def seen_positions(banded: DataFrame, catalog, last: int) -> DataFrame:
@@ -447,23 +478,28 @@ def seen_positions(banded: DataFrame, catalog, last: int) -> DataFrame:
     count, ``r`` the within-batch rank, pos = p + r).
 
     Scale shape (the round-5 follow-through on "bucket is the table's
-    physical partition key"): the prior arrives in two joins instead of one
-    union+groupBy so the compacted generation — the piece that grows with
-    corpus history — is consumed AS STORED: pre-aggregated (no per-batch
-    groupBy over 10^9+ state rows) and bucketed on the join key (no
-    per-batch exchange, no sort; the scan is the whole cost).  Only the
-    small post-compaction tail pays an aggregate+shuffle, and that input is
-    bounded by compaction cadence, not corpus size.  Join strategies stay
-    planner-chosen: real tables give AQE real stats.
+    physical partition key"): the prior arrives in per-piece joins instead
+    of one union+groupBy so the compacted generations — the pieces that
+    grow with corpus history — are consumed AS STORED: pre-aggregated (no
+    per-batch groupBy over 10^9+ state rows) and bucketed on the join key
+    (no per-batch exchange, no sort; the scan is the whole cost).  With
+    minor compaction the state is a short LIST of such generations (base +
+    deltas, bounded by ``max_minors``); each adds one exchange-free SMJ —
+    the batch side is partitioned once and every join preserves that
+    partitioning, so the probe still pays exactly ONE batch-side exchange
+    regardless of generation count.  Only the small post-compaction tail
+    pays an aggregate+shuffle, and that input is bounded by compaction
+    cadence, not corpus size.  Join strategies stay planner-chosen: real
+    tables give AQE real stats.
     """
     from pyspark.sql import Window
 
-    comp, tail, _, m = _seen_components(catalog, last)
-    if comp is not None:
+    comps, tail, _, m = _seen_components(catalog, last)
+    if comps:
         # pre-partition the batch side to the state's bucket count so the
-        # rank window and the probe join share ONE exchange: the window
+        # rank window and the probe joins share ONE exchange: the window
         # needs (band_id, bucket) clustering anyway, and matching the
-        # compacted table's partitioning count lets the SMJ reuse it
+        # compacted tables' partitioning count lets every SMJ reuse it
         # instead of inserting a second batch-side shuffle.  NOTE this
         # makes n_buckets the probe stage's task count — size it at least
         # to the cluster's parallelism (see compact_seen_buckets).
@@ -471,25 +507,26 @@ def seen_positions(banded: DataFrame, catalog, last: int) -> DataFrame:
     w = Window.partitionBy("band_id", "bucket").orderBy("doc_id")
     ranked = banded.withColumn("r", F.row_number().over(w))
     zero = F.lit(0).cast("long")
-    if comp is not None:
+    parts = []
+    for i, comp in enumerate(comps):
+        col = f"p_c{i}"
         ranked = ranked.join(
-            comp.withColumnRenamed("n_members", "p_comp"),
+            comp.withColumnRenamed("n_members", col),
             ["band_id", "bucket"],
             "left",
         )
-    else:
-        ranked = ranked.withColumn("p_comp", zero)
+        parts.append(col)
     if tail is not None:
         ranked = ranked.join(
             tail.withColumnRenamed("n_members", "p_tail"),
             ["band_id", "bucket"],
             "left",
         )
-    else:
-        ranked = ranked.withColumn("p_tail", zero)
-    return ranked.withColumn(
-        "p", F.coalesce("p_comp", zero) + F.coalesce("p_tail", zero)
-    ).drop("p_comp", "p_tail")
+        parts.append("p_tail")
+    p = zero
+    for col in parts:
+        p = p + F.coalesce(col, zero)
+    return ranked.withColumn("p", p).drop(*parts)
 
 
 def _swap_seen(catalog, df: DataFrame) -> None:
@@ -513,7 +550,12 @@ def _swap_seen(catalog, df: DataFrame) -> None:
         catalog.drop_physical(old)
 
 
-def compact_seen_buckets(catalog, n_buckets: int | None = None) -> int:
+def compact_seen_buckets(
+    catalog,
+    n_buckets: int | None = None,
+    mode: str = "major",
+    max_minors: int = 8,
+) -> int:
     """Rewrite ``dedup_seen_buckets`` as one summed row per (band_id,
     bucket).
 
@@ -568,24 +610,63 @@ def compact_seen_buckets(catalog, n_buckets: int | None = None) -> int:
     Too-low n_buckets silently caps probe parallelism the same way an
     under-partitioned source caps decode (see ``_fan_out``).
 
-    Returns the distinct bucket count after compaction.
+    ``mode="minor"`` (parquet bucketed layout only) is the LSM answer to
+    the 12.8M soak's honest negative — under a cadence, every major
+    compaction re-reads and re-writes the ENTIRE accumulated bucket set, so
+    below ~16 batches of history the cadence costs more than the tail
+    savings it buys.  A minor compaction folds ONLY the flat tail into a
+    NEW bucketed delta generation (cost O(batches since last compaction),
+    independent of history) and appends it to the manifest's ``minors``
+    list; the base and prior deltas are untouched.  The probe then joins
+    base + deltas + tail — every generation exchange-free (see
+    ``seen_positions``) — so probe cost stays flat while compaction cost
+    stops growing with corpus history.  When the delta count reaches
+    ``max_minors`` the call PROMOTES itself to a major merge (base + all
+    deltas + tail -> one new base), bounding the probe's join count; with
+    cadence K and promotion every ``max_minors`` minors, total bytes
+    rewritten over B batches drop from O(B²/K) — every cadence point pays
+    full history — to O(B²/(K·max_minors)) with the quadratic term's
+    constant shrunk by the fan-in (each row is rewritten once per minor it
+    enters plus once per major that merges it) — the classic tiered-LSM
+    write-amplification trade.  Minor mode
+    requires an existing bucketed generation (first call, flat layout and
+    the Iceberg leg fall through to the normal path; on Iceberg the
+    incremental analog would be MERGE INTO / rewrite_data_files, which the
+    runtime jar owns).  Crash safety is unchanged: the delta lands under a
+    versioned table first and the ``minors`` list moves in the same single
+    atomic manifest replace; a replayed batch below the new ``through``
+    watermark is excluded by the probe's batch_id filter either way.
+
+    Returns the distinct bucket count after compaction (for a minor: the
+    bucket count of the new delta generation; 0 for a no-op).
     """
     m = catalog.read_manifest("stream_curate")
     last = m.get("last_batch_id", -1) if m else -1
     if last < 0:
         return 0
-    comp, tail, _, cm = _seen_components(catalog, last)
+    comps, tail, _, cm = _seen_components(catalog, last)
     if n_buckets is None and cm:
         n_buckets = cm["n_buckets"]  # sticky layout
-    parts = [p for p in (comp, tail) if p is not None]
+    minor = (
+        mode == "minor"
+        and bool(comps)
+        and n_buckets is not None
+        and not getattr(catalog, "use_iceberg", False)
+        and len((cm or {}).get("minors", [])) < max_minors
+    )
+    if minor and tail is None:
+        return 0  # nothing new to fold; no generation bump
+    parts = [tail] if minor else comps + ([tail] if tail is not None else [])
     if not parts:
         return 0
-    seen = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
-    seen = (
-        seen.groupBy("band_id", "bucket")
-        .agg(F.sum("n_members").alias("n_members"))
-        .withColumn("batch_id", F.lit(last))
-    )
+    seen = parts[0]
+    for extra in parts[1:]:
+        seen = seen.unionByName(extra)
+    if not minor:  # the tail alone is already one row per bucket
+        seen = seen.groupBy("band_id", "bucket").agg(
+            F.sum("n_members").alias("n_members")
+        )
+    seen = seen.withColumn("batch_id", F.lit(last))
     if getattr(catalog, "use_iceberg", False):
         # createOrReplace commits the new snapshot atomically, reading the
         # prior snapshot as input — no pointer dance needed
@@ -627,19 +708,22 @@ def compact_seen_buckets(catalog, n_buckets: int | None = None) -> int:
     catalog.write_manifest(
         "seen_compact",
         {
-            "table": table,
+            "table": table if not minor else cm["table"],
+            "minors": (cm.get("minors", []) + [table]) if minor else [],
             "gen": gen,
             "through": last,
             "n_buckets": n_buckets,
             "columns": columns,
         },
     )
-    # 3. post-commit cleanup — both targets are already invisible to
-    #    readers (the probe takes tail rows with batch_id > through only),
+    # 3. post-commit cleanup — every dropped target is already invisible to
+    #    readers (the probe takes tail rows with batch_id > through only,
+    #    and a major's manifest replace unlists the merged generations),
     #    so a crash anywhere below leaves orphans, never wrong answers
-    if cm:
-        catalog.spark.sql(f"DROP TABLE IF EXISTS {cm['table']}")
-        catalog.drop_physical(cm["table"])
+    if not minor and cm:
+        for old in _gen_tables(cm):
+            catalog.spark.sql(f"DROP TABLE IF EXISTS {old}")
+            catalog.drop_physical(old)
     if catalog.exists("dedup_seen_buckets"):
         catalog.drop_physical(catalog.resolve("dedup_seen_buckets"))
     return catalog.spark.table(table).count()

@@ -45,6 +45,10 @@ COMPACT_EVERY = (
     if "SOAK_COMPACT_EVERY" in os.environ
     else None
 )
+# SOAK_COMPACT_MODE=minor folds only the flat tail per cadence point into
+# a new bucketed delta generation (LSM; O(tail) per compaction) instead of
+# rewriting the whole accumulated state (major; O(history))
+COMPACT_MODE = os.environ.get("SOAK_COMPACT_MODE", "major")
 
 
 def chunk_df(spark, start: int, end: int, seed: int = 42):
@@ -135,6 +139,7 @@ def main() -> None:
     cat = SinkCatalog(spark, cur)
 
     out["compact_every"] = COMPACT_EVERY
+    out["compact_mode"] = COMPACT_MODE
 
     def drain() -> float:
         t0 = time.monotonic()
@@ -144,6 +149,7 @@ def main() -> None:
             ckpt,
             compact_every=COMPACT_EVERY,
             compact_n_buckets=N_BUCKETS if COMPACT_EVERY else None,
+            compact_mode=COMPACT_MODE,
         )
         q.awaitTermination()
         return time.monotonic() - t0
@@ -174,13 +180,19 @@ def main() -> None:
     else:
         seen_before, mb_before = 0, 0.0
     t0 = time.monotonic()
-    seen_after = compact_seen_buckets(cat, n_buckets=N_BUCKETS)
+    seen_after = compact_seen_buckets(
+        cat, n_buckets=N_BUCKETS, mode=COMPACT_MODE
+    )
     c_sec = time.monotonic() - t0
     if N_BUCKETS:
-        state_dir = os.path.join(cur, cat.read_manifest("seen_compact")["table"])
+        from mysql_cdc_rs_spark.streaming.stream_pipeline import _gen_tables
+
+        mb_after = sum(
+            du_mb(os.path.join(cur, t))
+            for t in _gen_tables(cat.read_manifest("seen_compact"))
+        )
     else:
-        state_dir = os.path.join(cur, cat.resolve("dedup_seen_buckets"))
-    mb_after = du_mb(state_dir)
+        mb_after = du_mb(os.path.join(cur, cat.resolve("dedup_seen_buckets")))
     out["compaction"] = {
         "rows_before": seen_before,
         "rows_after": seen_after,

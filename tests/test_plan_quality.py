@@ -338,6 +338,83 @@ def test_seen_probe_bucketed_state_no_exchange(spark, tmp_path):
     spark.sql(f"DROP TABLE IF EXISTS {m['table']}")
 
 
+def test_seen_probe_lsm_generations_one_exchange(spark, tmp_path):
+    """Minor-compaction LSM state (round 5): the probe left-joins the base
+    generation plus each delta generation.  Every generation is bucketed on
+    the probe key, so adding deltas adds bucketed SCANS, never shuffles:
+    the plan must carry exactly ONE probe-key exchange (the batch side,
+    shared by the rank window and every generation SMJ) and engage the
+    bucketed scan once per generation — and the positions it computes must
+    be identical to the flat layout over the same state rows."""
+    from pyspark.sql import functions as F
+
+    from mysql_cdc_rs_spark.operators import dedup as DD
+    from mysql_cdc_rs_spark.sources.catalog import SinkCatalog
+    from mysql_cdc_rs_spark.sources.testdata import load
+    from mysql_cdc_rs_spark.streaming.stream_pipeline import (
+        compact_seen_buckets,
+        seen_positions,
+    )
+
+    docs = load(spark, SF, "documents").selectExpr(
+        "doc_id", "lower(coalesce(text, '')) as text"
+    )
+    banded = DD.banded_buckets(docs.limit(200).repartition(4))
+
+    def state_of(part, batch_id):
+        return (
+            DD.banded_buckets(part)
+            .groupBy("band_id", "bucket")
+            .agg(F.count("*").alias("n_members"))
+            .withColumn("batch_id", F.lit(batch_id))
+        )
+
+    s0 = state_of(docs.filter(F.col("doc_id") % 2 == 0), 0)
+    s1 = state_of(docs.filter(F.col("doc_id") % 2 == 1), 1)
+
+    # LSM layout: base generation from batch 0, minor delta from batch 1
+    lsm = SinkCatalog(spark, str(tmp_path / "lsm"))
+    lsm.append(s0, "dedup_seen_buckets")
+    lsm.write_manifest("stream_curate", {"last_batch_id": 0})
+    compact_seen_buckets(lsm, n_buckets=8)
+    lsm.append(s1, "dedup_seen_buckets")
+    lsm.write_manifest("stream_curate", {"last_batch_id": 1})
+    compact_seen_buckets(lsm, mode="minor")
+    m = lsm.read_manifest("seen_compact")
+    assert m["table"].endswith("_g1") and len(m["minors"]) == 1
+
+    # flat layout over the IDENTICAL state rows
+    flat = SinkCatalog(spark, str(tmp_path / "flat"))
+    flat.append(s0, "dedup_seen_buckets")
+    flat.append(s1, "dedup_seen_buckets")
+    flat.write_manifest("stream_curate", {"last_batch_id": 1})
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        got = seen_positions(banded, lsm, 1)
+        plan = _formatted(spark, got)
+        want = seen_positions(banded, flat, 1)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+    # one bucketed scan per generation, ONE probe-key exchange in total
+    assert plan.count("SelectedBucketsCount: 8 out of 8") == 2
+    exchanges = sum(
+        1
+        for ln in plan.splitlines()
+        if "hashpartitioning(band_id" in ln and "Arguments" in ln
+    )
+    assert exchanges == 1
+
+    key = ["doc_id", "band_id", "bucket", "r", "p"]
+    assert sorted(map(tuple, got.select(*key).collect())) == sorted(
+        map(tuple, want.select(*key).collect())
+    )
+    for t in [m["table"]] + m["minors"]:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
 def test_verify_jaccard_candidates_no_broadcast(spark):
     """Round-5 OOM fix pinned: in candidates mode every ngram-Jaccard join
     input scales with the corpus (pairs with dup mass, shingles with

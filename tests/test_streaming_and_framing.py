@@ -1044,3 +1044,117 @@ def test_streaming_curation_compaction_cadence(spark):
         assert again == want
         assert cat.read_manifest("seen_compact")["gen"] == 2
         spark.sql(f"DROP TABLE IF EXISTS {m['table']}")
+
+
+def test_streaming_curation_minor_compaction_lsm(spark):
+    """LSM minor compaction (round 5): under ``compact_mode="minor"`` each
+    cadence point folds ONLY the flat tail into a new bucketed delta
+    generation — O(batches since last compaction), not O(history) — and a
+    major merge auto-fires when the delta count reaches
+    ``compact_max_minors``.  Contract under test, across SEVEN in-stream
+    compactions (major -> minor -> minor -> promoted major -> minor ->
+    minor -> promoted major):
+
+      (a) the survivor set still EXACTLY matches batch ``curate()`` — the
+          multi-generation probe sums priors correctly;
+      (b) the manifest tracks base + deltas and each promotion resets the
+          delta list and physically drops every merged generation;
+      (c) a probe in a metadata-less session re-attaches ALL generations
+          (base and minors) from the manifest;
+      (d) a minor with no new tail is a no-op (no generation bump);
+      (e) a replayed drain after everything is still a no-op.
+    """
+    from mysql_cdc_rs_spark.plans.training_pipeline import curate, release
+    from mysql_cdc_rs_spark.sources.catalog import SinkCatalog
+    from mysql_cdc_rs_spark.streaming.stream_pipeline import (
+        compact_seen_buckets,
+        read_curated,
+        start_curation_stream,
+        stream_pages,
+    )
+
+    n = 2800
+    full = pages_df(spark, n, seed=42)
+    docid = F.regexp_extract("url", r"/(\d+)$", 1).cast("long")
+    with tempfile.TemporaryDirectory() as tmp:
+        src = f"{tmp}/pages"
+        ckpt = f"{tmp}/ckpt"
+        cat = SinkCatalog(spark, f"{tmp}/cur")
+        os.makedirs(src)
+
+        def add_chunk(i: int) -> None:
+            stage = f"{tmp}/stage"
+            full.filter(
+                (docid >= i * 400) & (docid < (i + 1) * 400)
+            ).coalesce(1).write.mode("overwrite").parquet(stage)
+            part = next(
+                f for f in os.listdir(stage) if f.endswith(".parquet")
+            )
+            target = os.path.join(src, f"chunk_{i:04d}.parquet")
+            os.rename(os.path.join(stage, part), target)
+            os.utime(target, (1_700_000_000 + i, 1_700_000_000 + i))
+
+        def drain() -> None:
+            q = start_curation_stream(
+                stream_pages(spark, src, max_files_per_trigger=1),
+                cat,
+                ckpt,
+                compact_every=1,
+                compact_n_buckets=8,
+                compact_mode="minor",
+                compact_max_minors=2,
+            )
+            q.awaitTermination()
+
+        for i in range(6):
+            add_chunk(i)
+        drain()
+
+        # (b) batch 0 -> first bucketed generation (major: nothing to fold
+        # into); batches 1,2 -> minors; batch 3 -> promotion (merge g1+g2+g3
+        # + tail -> g4, deltas reset, merged generations dropped); batches
+        # 4,5 -> minors again
+        m = cat.read_manifest("seen_compact")
+        assert m["gen"] == 6 and m["through"] == 5 and m["n_buckets"] == 8
+        assert m["table"].endswith("_g4")
+        assert [t[-3:] for t in m["minors"]] == ["_g5", "_g6"]
+        for g in ("_g1", "_g2", "_g3"):
+            assert not os.path.isdir(
+                os.path.join(f"{tmp}/cur", m["table"][:-3] + g)
+            )
+        for t in [m["table"]] + m["minors"]:
+            assert os.path.isdir(os.path.join(f"{tmp}/cur", t))
+        # every cadence point consumed its whole flat tail
+        assert not cat.exists("dedup_seen_buckets")
+
+        # (d) no new tail -> minor is a no-op, not an empty generation
+        assert compact_seen_buckets(cat, mode="minor") == 0
+        assert cat.read_manifest("seen_compact")["gen"] == 6
+
+        # (c) metadata loss: drop every session catalog entry; the next
+        # probe must re-attach base AND minors from the manifest alone
+        for t in [m["table"]] + m["minors"]:
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+        add_chunk(6)
+        drain()
+        # batch 6 probed g4+g5+g6, then its cadence promoted (2 deltas at
+        # the cap): one new base, deltas reset, old generations dropped
+        m2 = cat.read_manifest("seen_compact")
+        assert m2["gen"] == 7 and m2["table"].endswith("_g7")
+        assert m2["minors"] == [] and m2["through"] == 6
+        for t in [m["table"]] + m["minors"]:
+            assert not os.path.isdir(os.path.join(f"{tmp}/cur", t))
+
+        # (a) exact batch equality across the whole LSM lifecycle
+        got = {r["doc_id"] for r in read_curated(cat).select("doc_id").collect()}
+        surv = curate(full)
+        want = {r["doc_id"] for r in surv.select("doc_id").collect()}
+        release(surv)
+        assert got == want
+
+        # (e) replayed drain: every batch skips, state untouched
+        drain()
+        again = {r["doc_id"] for r in read_curated(cat).select("doc_id").collect()}
+        assert again == want
+        assert cat.read_manifest("seen_compact")["gen"] == 7
+        spark.sql(f"DROP TABLE IF EXISTS {m2['table']}")
