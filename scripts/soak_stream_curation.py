@@ -49,6 +49,9 @@ COMPACT_EVERY = (
 # a new bucketed delta generation (LSM; O(tail) per compaction) instead of
 # rewriting the whole accumulated state (major; O(history))
 COMPACT_MODE = os.environ.get("SOAK_COMPACT_MODE", "major")
+# SOAK_COMPACT_MAX_MINORS bounds the delta-generation count before a
+# minor promotes itself to a major merge (probe joins base + deltas)
+MAX_MINORS = int(os.environ.get("SOAK_COMPACT_MAX_MINORS", "8"))
 
 
 def chunk_df(spark, start: int, end: int, seed: int = 42):
@@ -150,6 +153,7 @@ def main() -> None:
             compact_every=COMPACT_EVERY,
             compact_n_buckets=N_BUCKETS if COMPACT_EVERY else None,
             compact_mode=COMPACT_MODE,
+            compact_max_minors=MAX_MINORS,
         )
         q.awaitTermination()
         return time.monotonic() - t0
@@ -181,7 +185,7 @@ def main() -> None:
         seen_before, mb_before = 0, 0.0
     t0 = time.monotonic()
     seen_after = compact_seen_buckets(
-        cat, n_buckets=N_BUCKETS, mode=COMPACT_MODE
+        cat, n_buckets=N_BUCKETS, mode=COMPACT_MODE, max_minors=MAX_MINORS
     )
     c_sec = time.monotonic() - t0
     if N_BUCKETS:
