@@ -84,6 +84,25 @@ def build_session(
         builder = builder.config(
             "spark.python.worker.faulthandler.enabled", "true"
         ).config("spark.sql.execution.pyspark.udf.faulthandler.enabled", "true")
+    # JVM<->Python worker transport: Unix domain sockets (Spark 4.1+),
+    # default ON.  Forensics from a wedged 12.8M soak
+    # (BENCH/hang/tcp_retransmit_collapse_batch22.txt) showed the "silent
+    # hang" class is a LOOPBACK TCP RETRANSMISSION COLLAPSE: both
+    # worker<->JVM pairs sat with 2-3.8 MB retransmitted, dsack_dups 30-70,
+    # reordering:32 and rto backed off to 120s+ (backoff:14), every buffer
+    # full in both directions — the kernel dropping loopback segments under
+    # burst, then exponential backoff freezing the pipe for minutes (the
+    # earlier daemon-handshake framing was one symptom of the same wedge).
+    # AF_UNIX stream sockets have no retransmission, no congestion control
+    # and no rto backoff, so the whole failure class is unrepresentable.
+    # NOTE: speculation is NOT a cure in local mode — a speculative copy is
+    # never scheduled on the executor already running the attempt, and
+    # local[N] has exactly one executor; on a real cluster it still is.
+    # SPARK_GRAFT_UNIX_SOCKET=0 restores TCP (e.g. to reproduce forensics).
+    if os.environ.get("SPARK_GRAFT_UNIX_SOCKET", "1") == "1":
+        builder = builder.config(
+            "spark.python.unix.domain.socket.enabled", "true"
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -491,6 +491,14 @@ def seen_positions(banded: DataFrame, catalog, last: int) -> DataFrame:
     pays an aggregate+shuffle, and that input is bounded by compaction
     cadence, not corpus size.  Join strategies stay planner-chosen: real
     tables give AQE real stats.
+
+    Measured dead end, kept out deliberately (BENCH/SOAK.md): a
+    broadcast-semi-join probe (batch keys broadcast into each generation,
+    eliminating the SMJ's state-side re-sort — Spark 4 cannot elide the
+    sorted-bucketed scan's sort) benchmarked 3-4x SLOWER at 4M-64M state
+    rows; the per-generation sort of pre-aggregated state is already
+    cheap at bucket-count parallelism, while the two batch-key broadcasts
+    (build + ship ~1.6M string keys per join) dominate.
     """
     from pyspark.sql import Window
 

@@ -102,8 +102,15 @@ def main() -> None:
     src = f"{WORK}/pages"
     cur = f"{WORK}/cur"
     ckpt = f"{WORK}/ckpt"
-    for d in (cur, ckpt):
-        shutil.rmtree(d, ignore_errors=True)
+    # SOAK_RESUME=1 keeps the sink + checkpoint from a crashed run: the
+    # drain then replays committed batches as manifest no-ops and picks up
+    # at the first uncommitted one — the mid-phase crash-recovery path,
+    # exercised for real when a run dies (phase timings then cover only
+    # the remaining work; survivor equality is still over the full corpus)
+    if os.environ.get("SOAK_RESUME") != "1":
+        for d in (cur, ckpt):
+            shutil.rmtree(d, ignore_errors=True)
+    out["resumed"] = os.environ.get("SOAK_RESUME") == "1"
 
     # --- 1. chunked, doc_id-ordered input (UNTIMED prep) -------------------
     # Deterministic per-chunk filenames (chunk_0000.parquet ...) make the

@@ -1158,3 +1158,4 @@ def test_streaming_curation_minor_compaction_lsm(spark):
         assert again == want
         assert cat.read_manifest("seen_compact")["gen"] == 7
         spark.sql(f"DROP TABLE IF EXISTS {m2['table']}")
+
