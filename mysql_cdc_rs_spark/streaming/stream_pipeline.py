@@ -328,7 +328,7 @@ def start_curation_stream(
         # task 11, one in ArrowStreamReader epoll holding the lock, one
         # parked in BlockInfoManager.acquireLock).  Serialized builds keep
         # Python-feeding stages free of cross-stage lock coupling.
-        quality.count()
+        n_quality = quality.count()
         banded = DD.banded_buckets(quality).persist()
         banded.count()
         pos = F.col("p") + F.col("r")
@@ -350,7 +350,24 @@ def start_curation_stream(
         )
         quality.unpersist()
         banded.unpersist()
-        catalog.write_manifest(MANIFEST, {"last_batch_id": batch_id})
+        # Input-lineage tripwire (free: n_quality is the persist barrier's
+        # return).  A checkpointed source can silently feed an EMPTY batch
+        # and never re-offer its data — seen for real when a soak's
+        # resume protocol moved a source file a PENDING batch referenced:
+        # the re-executed batch read zero rows, committed honestly, and
+        # 400k docs vanished from the corpus with every sink invariant
+        # green (BENCH/SOAK.md).  The running quality-row total makes that
+        # auditable downstream: sum(per-batch quality rows) must equal the
+        # batch-mode quality count over the same corpus.
+        catalog.write_manifest(
+            MANIFEST,
+            {
+                "last_batch_id": batch_id,
+                "quality_rows_total": (
+                    (m.get("quality_rows_total", 0) if m else 0) + n_quality
+                ),
+            },
+        )
         if compact_every and (batch_id + 1) % compact_every == 0:
             compact_seen_buckets(
                 catalog,

@@ -166,6 +166,13 @@ def main() -> None:
         return time.monotonic() - t0
 
     # --- 2. phase A: first half (chunk order == mtime order) ---------------
+    # NEVER move source files when resuming over an existing checkpoint: a
+    # PENDING batch (offsets committed, batch uncommitted) re-executes
+    # against its logged file list, and if that file is gone the batch
+    # reads ZERO rows, commits, and the source never re-offers the file —
+    # 400k docs silently vanished from a 12.8M run this way (the
+    # quality_rows_total manifest tripwire now catches it).  On resume the
+    # crash itself was the phase boundary, so drain everything in place.
     half = sorted(
         (f for f in os.listdir(src) if f.endswith(".parquet")),
         key=lambda f: os.path.getmtime(os.path.join(src, f)),
@@ -173,8 +180,9 @@ def main() -> None:
     hold = f"{WORK}/hold"
     shutil.rmtree(hold, ignore_errors=True)
     os.makedirs(hold)
-    for f in half[N_CHUNKS // 2 :]:
-        shutil.move(os.path.join(src, f), os.path.join(hold, f))
+    if os.environ.get("SOAK_RESUME") != "1":
+        for f in half[N_CHUNKS // 2 :]:
+            shutil.move(os.path.join(src, f), os.path.join(hold, f))
     a_sec = drain()
     out["phase_a"] = {
         "docs": N_TOTAL // 2,
@@ -239,6 +247,22 @@ def main() -> None:
     batch_ids = {r["doc_id"] for r in surv.select("doc_id").collect()}
     batch_sec = time.monotonic() - t0
     release(surv)
+    # input-lineage tripwire: the stream's cumulative quality-row count
+    # (written per batch into the stream_curate manifest) must equal the
+    # batch-mode quality count — catches silent source-layer input loss
+    # (an empty re-executed batch) that every sink invariant misses
+    from mysql_cdc_rs_spark.functions.text import words_of
+    from mysql_cdc_rs_spark.operators.decode import decode_pages
+
+    batch_quality = (
+        decode_pages(pages_all)
+        .filter(F.col("event_type").isin("html", "plain"))
+        .filter(F.size(words_of(F.col("text"))) >= 20)
+        .count()
+    )
+    stream_quality = cat.read_manifest("stream_curate").get(
+        "quality_rows_total", -1
+    )
     out["batch_compare"] = {
         "batch_sec": round(batch_sec, 3),
         "batch_docs_per_sec": round(N_TOTAL / batch_sec, 1),
@@ -247,6 +271,9 @@ def main() -> None:
         "identical": stream_ids == batch_ids,
         "only_stream": len(stream_ids - batch_ids),
         "only_batch": len(batch_ids - stream_ids),
+        "stream_quality_rows": stream_quality,
+        "batch_quality_rows": batch_quality,
+        "quality_rows_match": stream_quality == batch_quality,
     }
     out["host_load_at_end"] = [round(x, 2) for x in os.getloadavg()]
     spark.stop()
