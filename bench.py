@@ -141,6 +141,23 @@ def main() -> None:
     # absolute numbers (headline/kernel); the ratio protocols are designed
     # to survive it.  Recording it makes run-to-run deltas interpretable.
     result["host_load_at_start"] = [round(x, 2) for x in os.getloadavg()]
+    # single-thread canary: pure-Python decode_batch over 30k generator
+    # records, no Spark.  Two post-barrier retries proved start-load
+    # screening insufficient (windows that started at load1 0.04-0.2
+    # contaminated mid-run); this 1-second measure is an absolute
+    # same-code yardstick for the window — the committed quiet window
+    # reads ~50k pages/s, degraded windows ~34k.  Compare it across runs
+    # before comparing any Spark-side number.
+    from mysql_cdc_rs_spark.kernel.batchdecode import decode_batch
+    from mysql_cdc_rs_spark.sources.pages import make_record
+
+    _recs = [make_record(42, i)[2] for i in range(30_000)]
+    _t0 = time.monotonic()
+    decode_batch(_recs)
+    result["canary_single_thread_pages_per_sec"] = round(
+        30_000 / (time.monotonic() - _t0), 1
+    )
+    del _recs
 
     # --- headline: full pipeline at THREE parallelism levels ------------------
     # Each pandas-UDF task needs a JVM thread AND a python worker, so
