@@ -77,7 +77,12 @@ def make_decode_udf():
         # lists feed pandas->Arrow without a list-of-dicts detour
         return pd.DataFrame(decode_batch(html, mime_decoders))
 
-    return _decode
+    # asNondeterministic stops the optimizer pushing filters on decoded
+    # columns BELOW the projection, which duplicated the whole decode as a
+    # second ArrowEvalPython node (every filtered pipeline paid the UDF
+    # twice per row: pipeline_text_md5, curate's event_type gate).  The
+    # function itself is pure; the flag only pins its evaluation count.
+    return _decode.asNondeterministic()
 
 
 # default instance (built-ins only; rebuilt by with_decoded so extensions

@@ -81,6 +81,12 @@ def decode_batch(raws, mime_decoders=None) -> dict[str, list]:
     title_search = _TITLE_RE.search
     zdecompress = zlib.decompress
     zerror = zlib.error
+    # zstd resolved once per batch (sys.modules makes a loop-local import
+    # ~free, but the prologue is where every other bound local lives)
+    try:
+        import zstandard as _zstd
+    except ImportError:
+        _zstd = None
 
     c_status: list = []
     c_mime: list = []
@@ -177,16 +183,14 @@ def decode_batch(raws, mime_decoders=None) -> dict[str, list]:
                     except zerror:
                         body = None
             elif enc_key == "zstd":
-                try:
-                    import zstandard
-                except ImportError:
+                if _zstd is None:
                     body = None
                 else:
                     try:
-                        body = zstandard.ZstdDecompressor().decompress(
+                        body = _zstd.ZstdDecompressor().decompress(
                             body, max_output_size=1 << 26
                         )
-                    except zstandard.ZstdError:
+                    except _zstd.ZstdError:
                         body = None
             else:
                 body = None

@@ -40,13 +40,26 @@ def brute_force_topk(
     Output is rank/id only (no float column): float round-trip noise can't
     flip equality checks, only genuine rank changes could.
     """
+    # Norms are folded ONCE PER VECTOR on each join input (they depend on
+    # one side only), not per scored pair: inlined in the pair projection,
+    # cosine() re-folds sqrt(dot(q,q)) and sqrt(dot(e,e)) |queries| resp.
+    # |corpus| times over — 3 interpreted 64-dim folds per pair where one
+    # suffices.  sim is arithmetically IDENTICAL: same sequential folds,
+    # same sqrt operands, same multiply order as cosine().
     q = queries.select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
-    )
+    ).withColumn("_nq", F.sqrt(_dot(F.col("q_emb"), F.col("q_emb"))))
     scored = (
-        corpus.crossJoin(broadcast(q))
+        corpus.withColumn(
+            "_ne", F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+        )
+        .crossJoin(broadcast(q))
         .where(F.col("vec_id") != F.col("query_id"))
-        .withColumn("sim", cosine(F.col("q_emb"), F.col("embedding")))
+        .withColumn(
+            "sim",
+            _dot(F.col("q_emb"), F.col("embedding"))
+            / (F.col("_nq") * F.col("_ne")),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("vec_id").asc()
@@ -125,6 +138,11 @@ def lsh_topk(
     At 10^12 vectors the bucket column is the table's physical partition key
     (write once, probe by partition pruning); here it is computed inline.
     """
+    # NOTE: deliberately NOT the per-side norm precompute brute_force_topk
+    # uses — here the bucket equi-join keeps only ~|queries| x bucket-size
+    # pairs, far fewer than |corpus|, so folding a norm for every corpus
+    # row costs more than the per-pair re-folds it would save (measured:
+    # 0.94s -> 1.04s at sf1.0 with the precompute).
     cb = corpus.withColumn("bucket", lsh_bucket(F.col("embedding"), dim))
     q = queries.select(
         F.col("vec_id").alias("query_id"),
@@ -157,10 +175,15 @@ def neardup_pairs(
     window sharing the groupBy's partitioning, and pairs explode in-bucket
     from the bounded member array.
     """
+    # the vector norm rides inside the member struct: folded once per
+    # corpus vector in the single scan, so each in-bucket pair folds ONE
+    # dot product instead of three (struct sort order is unchanged —
+    # vec_id leads and is unique)
     cb = corpus.select(
         "vec_id",
         "embedding",
         lsh_bucket(F.col("embedding"), dim).alias("bucket"),
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
     )
     w = Window.partitionBy("bucket").orderBy("vec_id")
     bounded = cb.withColumn("rn", F.row_number().over(w)).where(
@@ -170,7 +193,7 @@ def neardup_pairs(
         bounded.groupBy("bucket")
         .agg(
             F.array_sort(
-                F.collect_list(F.struct("vec_id", "embedding"))
+                F.collect_list(F.struct("vec_id", "embedding", "nrm"))
             ).alias("ms")
         )
         .where(F.size("ms") >= 2)
@@ -186,7 +209,9 @@ def neardup_pairs(
     )
     return (
         pairs.withColumn(
-            "sim", cosine(F.col("p.a.embedding"), F.col("p.b.embedding"))
+            "sim",
+            _dot(F.col("p.a.embedding"), F.col("p.b.embedding"))
+            / (F.col("p.a.nrm") * F.col("p.b.nrm")),
         )
         .where(F.col("sim") >= min_cos)
         .select(

@@ -40,7 +40,7 @@ from mysql_cdc_rs_spark.sources.pages_from_documents import (
     TLD_SQL,
     pages_from_documents,
 )
-from mysql_cdc_rs_spark.sources.testdata import load
+from mysql_cdc_rs_spark.sources.testdata import load, spread
 
 
 def e_units(col, k: int = 4):
@@ -64,6 +64,25 @@ def q(name: str, oracle: str | None = None):
         return fn
 
     return deco
+
+
+def ordered(df: DataFrame, *keys: str) -> DataFrame:
+    """ORDER BY with the expensive subtree materialized first.
+
+    A global sort's range exchange SAMPLES its child to pick partition
+    boundaries, so the child RDD executes twice; when the child is a
+    map-only stage (scan -> regex projection / Python decode, no
+    intermediate exchange) the whole expensive computation runs once for
+    the sampling job and again for the real shuffle (optimization guide
+    §7.2: unexpected work at an Exchange).  Hashing the finished rows
+    through one narrow exchange first makes the sort's child a
+    materialized AQE shuffle stage: the expensive work runs ONCE and the
+    sampling job re-reads shuffle output instead of recomputing it.  The
+    added exchange carries only the query's output columns, and the
+    trailing orderBy is unchanged, so results (rows AND order) are
+    identical at any scale.
+    """
+    return df.repartition(*[F.col(k) for k in keys]).orderBy(*keys)
 
 
 # =========================================================================
@@ -365,15 +384,21 @@ def _w13(spark, sf):
     wlead = Window.partitionBy("user_id").orderBy("ts", "event_id")
     marker = F.when(F.col("event_type") == "signup", e_units(F.col("value"), 2))
     # parquet ts is TIMESTAMP_NTZ; cast to LTZ (value-preserving: session=UTC)
-    return ev.select(
+    # ordered(): the user_id-partitioned sort+window chain sits in one
+    # stage directly under the final event_id sort — without the
+    # materializing exchange the range sampling re-runs the whole window
+    return ordered(
+        ev.select(
+            "event_id",
+            "user_id",
+            F.last(marker, ignorenulls=True).over(wcum).alias("ctx_value_e2"),
+            (
+                F.unix_micros(F.lead("ts").over(wlead).cast("timestamp"))
+                - F.unix_micros(F.col("ts").cast("timestamp"))
+            ).alias("gap_us"),
+        ),
         "event_id",
-        "user_id",
-        F.last(marker, ignorenulls=True).over(wcum).alias("ctx_value_e2"),
-        (
-            F.unix_micros(F.lead("ts").over(wlead).cast("timestamp"))
-            - F.unix_micros(F.col("ts").cast("timestamp"))
-        ).alias("gap_us"),
-    ).orderBy("event_id")
+    )
 
 
 @q(
@@ -401,14 +426,18 @@ def _w2(spark, sf):
     sess = F.sum(
         F.when(F.col("event_type") == "signup", 1).otherwise(0)
     ).over(w)
-    return (
+    # the window and the groupBy share the user_id partitioning, so the
+    # whole sort+window+agg chain sits in ONE stage under the final sort —
+    # ordered() stops the range sampling from re-running it
+    return ordered(
         ev.withColumn("session_id", sess)
         .groupBy("user_id", "session_id")
         .agg(
             F.count("*").alias("n_events"),
             F.sum(e_units(F.col("value"), 2)).alias("sum_value_e2"),
-        )
-        .orderBy("user_id", "session_id")
+        ),
+        "user_id",
+        "session_id",
     )
 
 
@@ -440,13 +469,24 @@ def _w2(spark, sf):
 def _d1(spark, sf):
     """D1: before/after field diff + sparse/full classification (thresholds
     mirror /root/reference/binlog/src/row/update_analyzer.rs:21,34)."""
-    ev = load(spark, sf, "events")
+    # k is projected BELOW the window: the flat formulation computed the
+    # lag side pre-shuffle but re-ran the regexp for the current row in
+    # the post-window projection (2x regex per row), and carried the whole
+    # props string through the user_id exchange — project early, shuffle
+    # fewer bytes (guide §2.3)
+    ev = load(spark, sf, "events").select(
+        "event_id",
+        "ts",
+        "user_id",
+        "event_type",
+        "value",
+        F.regexp_extract("props", r'"k": (\d+)', 1).alias("k"),
+    )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    k = F.regexp_extract("props", r'"k": (\d+)', 1)
     changed = (
         F.when(F.col("value") != F.lag("value").over(w), 1).otherwise(0)
         + F.when(F.col("event_type") != F.lag("event_type").over(w), 1).otherwise(0)
-        + F.when(k != F.lag(k).over(w), 1).otherwise(0)
+        + F.when(F.col("k") != F.lag("k").over(w), 1).otherwise(0)
         + F.when(F.dayofmonth("ts") != F.dayofmonth(F.lag("ts").over(w)), 1).otherwise(
             0
         )
@@ -605,7 +645,7 @@ def _mh_sql(i: int) -> str:
     """,
 )
 def _dx(spark, sf):
-    return DD.exact_dedup_stats(load(spark, sf, "documents"))
+    return DD.exact_dedup_stats(spread(load(spark, sf, "documents")))
 
 
 @q(
@@ -616,7 +656,9 @@ def _dx(spark, sf):
     + " FROM sh GROUP BY doc_id ORDER BY doc_id",
 )
 def _dmh(spark, sf):
-    return DD.minhash_signatures(load(spark, sf, "documents")).orderBy("doc_id")
+    return DD.minhash_signatures(spread(load(spark, sf, "documents"))).orderBy(
+        "doc_id"
+    )
 
 
 _BANDS_SQL = (
@@ -657,7 +699,7 @@ _BANDS_SQL = (
     """,
 )
 def _dlsh(spark, sf):
-    return DD.lsh_candidate_pairs(load(spark, sf, "documents")).orderBy(
+    return DD.lsh_candidate_pairs(spread(load(spark, sf, "documents"))).orderBy(
         "doc_a", "doc_b"
     )
 
@@ -692,7 +734,7 @@ def _dlsh(spark, sf):
     """,
 )
 def _djac(spark, sf):
-    docs = load(spark, sf, "documents")
+    docs = spread(load(spark, sf, "documents"))
     sh = DD.shingled(docs)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     # the CAPPED shared-shingle feed (dedup.shared_shingle_inter): parity
@@ -741,7 +783,7 @@ _SIMHASH_ASSEMBLE = " + ".join(
     """,
 )
 def _dsim(spark, sf):
-    return DD.simhash(load(spark, sf, "documents"))
+    return DD.simhash(spread(load(spark, sf, "documents")))
 
 
 # =========================================================================
@@ -804,37 +846,58 @@ def _text_stats(spark, sf):
         STOPWORDS,
     )
 
-    docs = load(spark, sf, "documents")
-    w = words_of(F.col("text"))
-    nchars = F.length(norm_ws(F.col("text")))
-    n_tokens = F.size(w)
+    docs = spread(load(spark, sf, "documents"))
+    # Staged projections so each heavyweight expression evaluates ONCE:
+    # the flat formulation repeated trim(regexp_replace(..)) + split(..)
+    # under every output column (codegen subexpression elimination does
+    # not cover all of them), and the multi-reference aliases below are
+    # non-cheap, so CollapseProject keeps the stages separate (guide §4.2
+    # spirit: hand each stage whole values, not re-derivations).
+    nt = docs.select("doc_id", norm_ws(F.col("text")).alias("nt"))
+    ww = nt.select("doc_id", "nt", F.split(F.col("nt"), " ").alias("w"))
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
-    n_stop = F.size(F.filter(w, lambda x: F.array_contains(stop_arr, x)))
-    hashes = F.transform(w, lambda x: portable_hash60(x) % FP_WORD_MOD)
-    fp = F.aggregate(
-        hashes,
-        F.lit(0).cast("long"),
-        lambda acc, h: (acc * FP_MULT + h) % FP_ACC_MOD,
-    )
-    return docs.select(
+    hashes = F.transform(F.col("w"), lambda x: portable_hash60(x) % FP_WORD_MOD)
+    counted = ww.select(
         "doc_id",
-        n_tokens.alias("n_tokens"),
-        nchars.alias("n_chars_norm"),
-        e_units((nchars - (n_tokens - 1)).cast("double") / n_tokens, 6).alias(
-            "avg_word_len_e6"
-        ),
-        n_stop.alias("n_stopwords"),
-        e_units(n_stop.cast("double") / n_tokens, 6).alias("stop_ratio_e6"),
-        F.when(n_tokens >= 50, F.lit(1000000).cast("long"))
-        .otherwise(e_units(n_tokens.cast("double") / 50.0, 6))
-        .alias("len_score_e6"),
-        fp.alias("fingerprint"),
+        F.size("w").alias("n_tokens"),
+        F.length("nt").alias("n_chars_norm"),
         F.size(
-            F.regexp_extract_all(
-                norm_ws(F.col("text")), F.lit(TS.BPE_TOKEN_RE), F.lit(0)
-            )
-        ).cast("int").alias("n_bpe_tokens"),
-    ).orderBy("doc_id")
+            F.filter(F.col("w"), lambda x: F.array_contains(stop_arr, x))
+        ).alias("n_stopwords"),
+        F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h: (acc * FP_MULT + h) % FP_ACC_MOD,
+        ).alias("fingerprint"),
+        # regexp_count == size(regexp_extract_all(.., 0)): both count the
+        # same Java-regex find() loop, without materializing the matches
+        F.regexp_count(F.col("nt"), F.lit(TS.BPE_TOKEN_RE))
+        .cast("int")
+        .alias("n_bpe_tokens"),
+    )
+    n_tokens = F.col("n_tokens")
+    return ordered(
+        counted.select(
+            "doc_id",
+            "n_tokens",
+            "n_chars_norm",
+            e_units(
+                (F.col("n_chars_norm") - (n_tokens - 1)).cast("double")
+                / n_tokens,
+                6,
+            ).alias("avg_word_len_e6"),
+            "n_stopwords",
+            e_units(F.col("n_stopwords").cast("double") / n_tokens, 6).alias(
+                "stop_ratio_e6"
+            ),
+            F.when(n_tokens >= 50, F.lit(1000000).cast("long"))
+            .otherwise(e_units(n_tokens.cast("double") / 50.0, 6))
+            .alias("len_score_e6"),
+            "fingerprint",
+            "n_bpe_tokens",
+        ),
+        "doc_id",
+    )
 
 
 @q(
@@ -842,7 +905,7 @@ def _text_stats(spark, sf):
     None,  # oracle generated below (needs marker arrays per language)
 )
 def _tl(spark, sf):
-    return TS.lang_id(load(spark, sf, "documents"))
+    return TS.lang_id(spread(load(spark, sf, "documents")))
 
 
 def _lang_id_oracle() -> str:
@@ -914,7 +977,7 @@ def _cos_sql(a: str, b: str, dim: int) -> str:
     """,
 )
 def _ann(spark, sf):
-    emb = load(spark, sf, "embeddings")
+    emb = spread(load(spark, sf, "embeddings"))
     queries = emb.filter(F.col("vec_id") < 5)
     return SIM.brute_force_topk(emb, queries, k=10)
 
@@ -946,7 +1009,7 @@ def _ann(spark, sf):
     """,
 )
 def _annlsh(spark, sf):
-    emb = load(spark, sf, "embeddings")
+    emb = spread(load(spark, sf, "embeddings"))
     queries = emb.filter(F.col("vec_id") < 20)
     return SIM.lsh_topk(emb, queries, dim=_EMB_DIM, k=5)
 
@@ -993,9 +1056,12 @@ def _p_text(spark, sf):
     pages = pages_from_documents(spark, sf)
     dec = decode_pages(pages).filter(F.col("event_type").isin("html", "plain"))
     doc_id = F.regexp_extract("url", r"/d/(\d+)$", 1).cast("long")
-    return dec.select(
-        doc_id.alias("doc_id"), F.md5("text").alias("text_md5")
-    ).orderBy("doc_id")
+    # ordered(): materialize ahead of the sort — without it the range
+    # sampling re-executes BOTH Python stages (page gen + decode UDF)
+    return ordered(
+        dec.select(doc_id.alias("doc_id"), F.md5("text").alias("text_md5")),
+        "doc_id",
+    )
 
 
 @q(
@@ -1122,7 +1188,7 @@ def _a8(spark, sf):
     """,
 )
 def _neardup(spark, sf):
-    emb = load(spark, sf, "embeddings")
+    emb = spread(load(spark, sf, "embeddings"))
     return SIM.neardup_pairs(emb, dim=_EMB_DIM, min_cos=0.35)
 
 
@@ -1302,11 +1368,16 @@ def _ivf_train(spark, sf):
     arithmetic (e6 quantization, integer squared-L2, floor-mean centroid
     update) so the trained assignment is bit-identical to the SQL oracle.
     Completes the IVF path: kmeans_train_int -> ivf_assign -> ivf_topk."""
-    emb = load(spark, sf, "embeddings")
+    emb = spread(load(spark, sf, "embeddings"))
     out = SIM.kmeans_train_int(emb, dim=64, k=8, iters=2)
-    return out.select(
-        "vec_id", F.col("cent_id").cast("long").alias("cent_id"), "dist"
-    ).orderBy("vec_id")
+    # ordered(): the final assignment is a map-only interpreted argmin fold
+    # over the corpus — materialize it before the sort samples it
+    return ordered(
+        out.select(
+            "vec_id", F.col("cent_id").cast("long").alias("cent_id"), "dist"
+        ),
+        "vec_id",
+    )
 
 
 @q(
@@ -1546,8 +1617,10 @@ def _p3(spark, sf):
     meta = [0, (RD.T_ENUM << 8) | 5, (14 << 8) | 2, 0, 0,
             (RD.T_SET << 8) | 1, 64, 0, (RD.T_SHORT << 16) | 0]
 
-    ev = load(spark, sf, "events").filter(F.col("event_id") < 5000).select(
-        "event_id", "event_type", "value", "ts", "props"
+    ev = spread(
+        load(spark, sf, "events").filter(F.col("event_id") < 5000).select(
+            "event_id", "event_type", "value", "ts", "props"
+        )
     )
 
     def rt(batches):
@@ -1587,12 +1660,15 @@ def _p3(spark, sf):
                 "set_mask", "props_rt", "nd", "arr_sum", "decode_err",
             ])
 
-    return ev.mapInPandas(
-        rt,
-        schema="event_id long, etype_ord int, value_str string, d string, "
-               "yr int, set_mask int, props_rt string, nd string, "
-               "arr_sum int, decode_err string",
-    ).orderBy("event_id")
+    return ordered(
+        ev.mapInPandas(
+            rt,
+            schema="event_id long, etype_ord int, value_str string, d string, "
+                   "yr int, set_mask int, props_rt string, nd string, "
+                   "arr_sum int, decode_err string",
+        ),
+        "event_id",
+    )
 
 
 @q(
@@ -2231,8 +2307,10 @@ def _mm(spark, sf):
 
     from mysql_cdc_rs_spark.operators import multimodal as MM
 
-    docs = load(spark, sf, "documents").filter(F.col("doc_id") < 300).select(
-        "doc_id"
+    docs = spread(
+        load(spark, sf, "documents").filter(F.col("doc_id") < 300).select(
+            "doc_id"
+        )
     )
 
     def rt(batches):
@@ -2297,13 +2375,16 @@ def _mm(spark, sf):
                 "n_sampled", "sampled_sum", "n_frames", "decode_status",
             ])
 
-    return docs.mapInPandas(
-        rt,
-        schema="doc_id long, mime string, width int, height int, "
-               "channels int, n_samples int, sample_rate int, "
-               "payload_sum long, resized_sum long, n_sampled int, "
-               "sampled_sum long, n_frames int, decode_status string",
-    ).orderBy("doc_id")
+    return ordered(
+        docs.mapInPandas(
+            rt,
+            schema="doc_id long, mime string, width int, height int, "
+                   "channels int, n_samples int, sample_rate int, "
+                   "payload_sum long, resized_sum long, n_sampled int, "
+                   "sampled_sum long, n_frames int, decode_status string",
+        ),
+        "doc_id",
+    )
 
 
 def _geo_oracle() -> str:
@@ -2552,9 +2633,12 @@ def _curate(spark, sf):
 
     pages = pages_from_documents(spark, sf)
     survivors = curate(pages, min_tokens=20)
-    return survivors.select(
-        "doc_id", F.md5("text").alias("text_md5")
-    ).orderBy("doc_id")
+    # ordered(): without it the range sampling re-runs the survivors
+    # anti-join (cache probe + join + md5) a second time
+    return ordered(
+        survivors.select("doc_id", F.md5("text").alias("text_md5")),
+        "doc_id",
+    )
 
 
 @q(

@@ -122,8 +122,15 @@ def pages_from_documents(spark, sf_dir: str):
     """documents parquet -> pages DataFrame, generated on executors."""
     import pandas as pd
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        "doc_id", "text", "lang", "source"
+    from mysql_cdc_rs_spark.sources.testdata import spread
+
+    # spread(): the single-row-group documents file gives the scan ONE
+    # task, and the whole Python page-generation + downstream decode chain
+    # would inherit it (guide §2.5)
+    docs = spread(
+        spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "text", "lang", "source"
+        )
     )
 
     def gen(batches):
