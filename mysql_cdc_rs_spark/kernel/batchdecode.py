@@ -63,6 +63,15 @@ def decode_batch(raws, mime_decoders=None) -> dict[str, list]:
     rows whose mime is registered delegate to ``decode_page`` (the registry
     path is cold by design).  None/empty skips the per-row membership test's
     dict lookup entirely on the common path.
+
+    Snapshot isolation, deliberately: DISPATCH consults the snapshot the
+    UDF was built with (``mime in mds``), so a decoder some earlier UDF
+    left in a reused worker's live registry cannot change which rows take
+    the extension path — each plan sees exactly the extensions registered
+    when it was built.  Rows that DO dispatch run through ``decode_page``,
+    whose registry the caller (functions.udfs.make_decode_udf) primes from
+    the same snapshot, so the byte-identity contract with
+    ``[decode_page(r) for r in raws]`` holds per snapshot.
     """
     mds = mime_decoders or None
 

@@ -198,6 +198,16 @@ def neardup_pairs(
         )
         .where(F.size("ms") >= 2)
     )
+    # The members relation is tiny in BYTES (one row per occupied bucket),
+    # so AQE coalesces the post-agg stage to a handful of tasks — but the
+    # work below it (pair explode + one dot fold per pair) is QUADRATIC in
+    # bucket occupancy, not byte-proportional.  Round-robin the bucket
+    # rows across the session's cores before exploding (measured at sf1.0:
+    # the 930k-pair dot stage ran on 5 tasks, 1.83s -> spread).  Target is
+    # defaultParallelism, never a constant.
+    members = members.repartition(
+        corpus.sparkSession.sparkContext.defaultParallelism
+    )
     pairs = members.select(
         F.explode(
             F.expr(

@@ -672,8 +672,19 @@ def compact_seen_buckets(
     comps, tail, _, cm = _seen_components(catalog, last)
     if n_buckets is None and cm:
         n_buckets = cm["n_buckets"]  # sticky layout
+    # An EXPLICIT n_buckets that disagrees with the recorded layout forces
+    # a major rewrite: a minor would write its delta with the new bucket
+    # count while base and earlier deltas keep their old physical
+    # bucketing, and the single manifest n_buckets field would then
+    # declare a bucket spec that doesn't match those files — the
+    # exchange-free sort-merge probe trusts the declaration, so prior
+    # counts (and dedup drops) would go silently wrong after a restart.
+    # Promoting re-buckets the WHOLE state at the new count in one
+    # generation, keeping declaration and files consistent.
+    rebucket = bool(cm) and n_buckets is not None and n_buckets != cm["n_buckets"]
     minor = (
         mode == "minor"
+        and not rebucket
         and bool(comps)
         and n_buckets is not None
         and not getattr(catalog, "use_iceberg", False)

@@ -1159,3 +1159,70 @@ def test_streaming_curation_minor_compaction_lsm(spark):
         assert cat.read_manifest("seen_compact")["gen"] == 7
         spark.sql(f"DROP TABLE IF EXISTS {m2['table']}")
 
+
+
+def test_compact_minor_mismatched_n_buckets_promotes_major(spark):
+    """A minor compaction called with an explicit n_buckets that disagrees
+    with the recorded layout must not fold a delta: the delta would carry
+    the NEW physical bucketing while base generations keep the old one,
+    and the single manifest n_buckets field would declare a bucket spec
+    that doesn't match those files — the exchange-free sort-merge probe
+    trusts the declaration, so prior counts would go silently wrong after
+    a restart.  The call promotes itself to a MAJOR rewrite instead: one
+    generation at the new count, minors reset, probe positions identical
+    to a flat layout over the same state rows."""
+    from mysql_cdc_rs_spark.operators import dedup as DD
+    from mysql_cdc_rs_spark.sources.catalog import SinkCatalog
+    from mysql_cdc_rs_spark.sources.testdata import load
+    from mysql_cdc_rs_spark.streaming.stream_pipeline import (
+        compact_seen_buckets,
+        seen_positions,
+    )
+
+    docs = load(spark, "/root/testdata/sf0.01", "documents").selectExpr(
+        "doc_id", "lower(coalesce(text, '')) as text"
+    )
+    banded = DD.banded_buckets(docs.limit(200).repartition(4))
+
+    def state_of(part, batch_id):
+        return (
+            DD.banded_buckets(part)
+            .groupBy("band_id", "bucket")
+            .agg(F.count("*").alias("n_members"))
+            .withColumn("batch_id", F.lit(batch_id))
+        )
+
+    s0 = state_of(docs.filter(F.col("doc_id") % 2 == 0), 0)
+    s1 = state_of(docs.filter(F.col("doc_id") % 2 == 1), 1)
+
+    with tempfile.TemporaryDirectory() as tmp:
+        cat = SinkCatalog(spark, f"{tmp}/lsm")
+        cat.append(s0, "dedup_seen_buckets")
+        cat.write_manifest("stream_curate", {"last_batch_id": 0})
+        compact_seen_buckets(cat, n_buckets=8)
+        cat.append(s1, "dedup_seen_buckets")
+        cat.write_manifest("stream_curate", {"last_batch_id": 1})
+
+        # mismatched explicit n_buckets + minor mode -> promoted major
+        compact_seen_buckets(cat, n_buckets=4, mode="minor")
+        m = cat.read_manifest("seen_compact")
+        assert m["n_buckets"] == 4
+        assert m["minors"] == []
+        assert m["table"].endswith("_g2")
+        # the whole state (s0 + s1) lives in the one new generation
+        assert not cat.exists("dedup_seen_buckets")
+
+        # probe equality vs a flat layout over the identical rows
+        flat = SinkCatalog(spark, f"{tmp}/flat")
+        flat.append(s0, "dedup_seen_buckets")
+        flat.append(s1, "dedup_seen_buckets")
+        flat.write_manifest("stream_curate", {"last_batch_id": 1})
+        key = ["doc_id", "band_id", "bucket", "r", "p"]
+        got = sorted(
+            map(tuple, seen_positions(banded, cat, 1).select(*key).collect())
+        )
+        want = sorted(
+            map(tuple, seen_positions(banded, flat, 1).select(*key).collect())
+        )
+        assert got == want
+        spark.sql(f"DROP TABLE IF EXISTS {m['table']}")
