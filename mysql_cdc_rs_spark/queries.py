@@ -384,21 +384,20 @@ def _w13(spark, sf):
     wlead = Window.partitionBy("user_id").orderBy("ts", "event_id")
     marker = F.when(F.col("event_type") == "signup", e_units(F.col("value"), 2))
     # parquet ts is TIMESTAMP_NTZ; cast to LTZ (value-preserving: session=UTC)
-    # ordered(): the user_id-partitioned sort+window chain sits in one
-    # stage directly under the final event_id sort — without the
-    # materializing exchange the range sampling re-runs the whole window
-    return ordered(
-        ev.select(
-            "event_id",
-            "user_id",
-            F.last(marker, ignorenulls=True).over(wcum).alias("ctx_value_e2"),
-            (
-                F.unix_micros(F.lead("ts").over(wlead).cast("timestamp"))
-                - F.unix_micros(F.col("ts").cast("timestamp"))
-            ).alias("gap_us"),
-        ),
+    # deliberately NOT ordered(): the output is as wide as the input (one
+    # row per event), so materializing it through an extra exchange costs
+    # more than the window re-run the sort sampling causes (A/B measured
+    # 1.11s vs 0.87s at sf1.0) — the opposite trade from w2, whose output
+    # collapses to one row per session
+    return ev.select(
         "event_id",
-    )
+        "user_id",
+        F.last(marker, ignorenulls=True).over(wcum).alias("ctx_value_e2"),
+        (
+            F.unix_micros(F.lead("ts").over(wlead).cast("timestamp"))
+            - F.unix_micros(F.col("ts").cast("timestamp"))
+        ).alias("gap_us"),
+    ).orderBy("event_id")
 
 
 @q(
