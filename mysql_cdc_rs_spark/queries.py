@@ -425,18 +425,18 @@ def _w2(spark, sf):
     sess = F.sum(
         F.when(F.col("event_type") == "signup", 1).otherwise(0)
     ).over(w)
-    # the window and the groupBy share the user_id partitioning, so the
-    # whole sort+window+agg chain sits in ONE stage under the final sort —
-    # ordered() stops the range sampling from re-running it
-    return ordered(
+    # deliberately NOT ordered(): the window's user_id exchange already
+    # shields the heavy subtree from the sort sampler, and the A/B at
+    # sf1.0 measured the extra materializing exchange as a net loss
+    # (1.10s vs 0.93s)
+    return (
         ev.withColumn("session_id", sess)
         .groupBy("user_id", "session_id")
         .agg(
             F.count("*").alias("n_events"),
             F.sum(e_units(F.col("value"), 2)).alias("sum_value_e2"),
-        ),
-        "user_id",
-        "session_id",
+        )
+        .orderBy("user_id", "session_id")
     )
 
 
@@ -2632,12 +2632,12 @@ def _curate(spark, sf):
 
     pages = pages_from_documents(spark, sf)
     survivors = curate(pages, min_tokens=20)
-    # ordered(): without it the range sampling re-runs the survivors
-    # anti-join (cache probe + join + md5) a second time
-    return ordered(
-        survivors.select("doc_id", F.md5("text").alias("text_md5")),
-        "doc_id",
-    )
+    # deliberately NOT ordered(): the anti-join's own exchanges shield the
+    # heavy subtree from the sort sampler (A/B at sf1.0: 1.81s plain vs
+    # 1.90s with the extra exchange)
+    return survivors.select(
+        "doc_id", F.md5("text").alias("text_md5")
+    ).orderBy("doc_id")
 
 
 @q(
